@@ -1,0 +1,193 @@
+"""Exact GP regression — Rasmussen & Williams Algorithm 2.1, TPU-first.
+
+Re-derivation of the reference's ``prediction``/``compute_mar_likelihood``
+pipeline [ref: GP_regression.py:109-156, tune_hyperparms_regression.py:292-313,
+CO2_example.py:131-149,182-214] as pure jittable functions:
+
+    K   = k(X, X) + s I          (jittered Cholesky, NaN-guarded)
+    L   = chol(K)
+    a   = L^T \\ (L \\ y)
+    mu* = K_s^T a
+    v   = L \\ K_s
+    var*= diag(K_ss) - sum(v^2, 0)
+    LML = -0.5 y^T a - sum(log diag L) - n/2 log(2 pi)
+
+Differences from the reference (all deliberate):
+- one fused jitted program instead of five separate NumPy calls, so XLA
+  fuses kernel construction into the factorization's producers;
+- ``diag(K_ss)`` via ``gram_diag`` — the reference materialises the full
+  (n_test, n_test) matrix just to take its diagonal [ref: GP_regression.py:128,147];
+- the LML uses the *corrected* formula (reference quirk Q1: the inline
+  version at GP_regression.py:151 drops the log and normalises by the test
+  count);
+- no ``np.linalg.inv`` anywhere (the reference inverts triangular factors
+  [ref: CO2_example.py:144]); triangular solves throughout;
+- a matrix-free CG path (``posterior_mean_cg``) for n where K cannot be
+  materialised.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_process_tpu.linalg import cholesky as _chol
+from gaussian_process_tpu.linalg import cg as _cg
+from gaussian_process_tpu.ops import kernels as _k
+
+
+class Posterior(NamedTuple):
+    mean: jnp.ndarray  # (n_test,) posterior mean mu*
+    var: jnp.ndarray  # (n_test,) posterior marginal variance
+    std: jnp.ndarray  # sqrt(var)
+    lml: jnp.ndarray  # scalar log marginal likelihood (corrected formula)
+    chol: jnp.ndarray  # (n_train, n_train) L with K + sI = L L^T
+    alpha: jnp.ndarray  # (n_train,) K^-1 y
+    v: jnp.ndarray  # (n_train, n_test) L \\ K_s (for joint sampling)
+    jitter: jnp.ndarray  # extra jitter applied beyond the noise term
+
+
+def posterior(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    noise_variance: float = 5e-4,
+    dist_method: str = "dot",
+) -> Posterior:
+    """Full exact-GP posterior at ``x_test`` (Alg. 2.1).
+
+    [ref: GP_regression.py:109-156 (prediction)]
+    """
+    K = _k.gram(kernel, params, x_train, method=dist_method)
+    K_s = _k.gram(kernel, params, x_train, x_test, method=dist_method)
+    kss_diag = _k.gram_diag(kernel, params, x_test)
+
+    res = _chol.safe_cholesky(K, initial_jitter=noise_variance)
+    L = res.factor
+    alpha = _chol.cholesky_solve(L, y_train)
+
+    mean = jnp.dot(K_s.T, alpha, preferred_element_type=K_s.dtype)
+    v = _chol.tri_solve(L, K_s)
+    var = kss_diag - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 0.0)
+
+    n = x_train.shape[0]
+    lml = (
+        -0.5 * jnp.dot(y_train, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * math.log(2.0 * math.pi)
+    )
+    return Posterior(
+        mean=mean,
+        var=var,
+        std=jnp.sqrt(var),
+        lml=lml,
+        chol=L,
+        alpha=alpha,
+        v=v,
+        jitter=res.jitter,
+    )
+
+
+def log_marginal_likelihood(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    *,
+    noise_variance: float = 5e-4,
+    dist_method: str = "dot",
+) -> jnp.ndarray:
+    """Corrected LML — differentiable in ``params`` via jax.grad.
+
+    [ref: tune_hyperparms_regression.py:292-313 (compute_mar_likelihood);
+    the hand-derived RBF gradient it replaces is at :31-64]
+    """
+    K = _k.gram(kernel, params, x_train, method=dist_method)
+    res = _chol.safe_cholesky(K, initial_jitter=noise_variance)
+    L = res.factor
+    alpha = _chol.cholesky_solve(L, y_train)
+    n = x_train.shape[0]
+    return (
+        -0.5 * jnp.dot(y_train, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * math.log(2.0 * math.pi)
+    )
+
+
+def sample_prior(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: jnp.ndarray,
+    key: jax.Array,
+    *,
+    num_functions: int = 10,
+    jitter: float = 5e-4,
+    mean: float = 0.0,
+    dist_method: str = "dot",
+) -> jnp.ndarray:
+    """Draw ``num_functions`` GP prior paths at ``x``: mu + L N(0, I).
+
+    [ref: GP_regression.py:71-92 (f_prior); its jitter s = 5e-4 at :81,90]
+    """
+    K = _k.gram(kernel, params, x, method=dist_method)
+    res = _chol.safe_cholesky(K, initial_jitter=jitter)
+    n = x.shape[0]
+    eps = jax.random.normal(key, (n, num_functions), dtype=K.dtype)
+    return mean + jnp.dot(res.factor, eps, preferred_element_type=K.dtype)
+
+
+def sample_posterior(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    post: Posterior,
+    x_test: jnp.ndarray,
+    key: jax.Array,
+    *,
+    num_functions: int = 10,
+    jitter: float = 1e-6,
+    dist_method: str = "dot",
+) -> jnp.ndarray:
+    """Joint posterior samples at the test points.
+
+    chol(K_ss + jitter I - v^T v) [ref: GP_regression.py:154-155; the 1e-6
+    jitter is the reference's constant].
+    """
+    K_ss = _k.gram(kernel, params, x_test, method=dist_method)
+    cov = K_ss - jnp.dot(post.v.T, post.v, preferred_element_type=K_ss.dtype)
+    res = _chol.safe_cholesky(cov, initial_jitter=jitter)
+    n = x_test.shape[0]
+    eps = jax.random.normal(key, (n, num_functions), dtype=K_ss.dtype)
+    return post.mean[:, None] + jnp.dot(
+        res.factor, eps, preferred_element_type=K_ss.dtype
+    )
+
+
+def posterior_mean_cg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    cross_mv: Callable[[jnp.ndarray], jnp.ndarray],
+    y_train: jnp.ndarray,
+    *,
+    noise_variance: float = 5e-4,
+    prior_diag: Optional[jnp.ndarray] = None,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+) -> tuple[jnp.ndarray, _cg.CGState]:
+    """Posterior mean via matrix-free CG: mu* = K_s^T (K + sI)^-1 y.
+
+    ``matvec(v)`` must return K(X,X) @ v (without noise); ``cross_mv(alpha)``
+    returns K_s^T @ alpha. This is the large-n path where K is never
+    materialised (no reference equivalent — it densifies always).
+    """
+    noisy_mv = lambda v: matvec(v) + noise_variance * v
+    diag = None if prior_diag is None else prior_diag + noise_variance
+    state = _cg.cg_solve(
+        noisy_mv, y_train, tol=tol, max_iters=max_iters, precond_diag=diag
+    )
+    return cross_mv(state.x), state

@@ -1,0 +1,120 @@
+"""Unit tests: Cholesky/triangular-solve/CG vs scipy (SURVEY.md sec. 4 item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import solve_triangular
+
+from gaussian_process_tpu import linalg
+
+
+def _spd(rng, n, cond=10.0):
+    A = rng.standard_normal((n, n))
+    Q, _ = np.linalg.qr(A)
+    w = np.geomspace(1.0, 1.0 / cond, n)
+    return (Q * w) @ Q.T
+
+
+class TestSafeCholesky:
+    def test_matches_numpy_on_spd(self, rng):
+        K = _spd(rng, 20)
+        res = linalg.safe_cholesky(jnp.asarray(K))
+        np.testing.assert_allclose(res.factor, np.linalg.cholesky(K), rtol=1e-8, atol=1e-10)
+        assert bool(res.ok)
+        assert float(res.jitter) == 0.0
+
+    def test_initial_jitter_applied(self, rng):
+        K = _spd(rng, 10)
+        res = linalg.safe_cholesky(jnp.asarray(K), initial_jitter=0.5)
+        np.testing.assert_allclose(
+            res.factor, np.linalg.cholesky(K + 0.5 * np.eye(10)), rtol=1e-8, atol=1e-10
+        )
+
+    def test_recovers_from_indefinite(self, rng):
+        # rank-deficient PSD matrix: needs jitter escalation
+        v = rng.standard_normal((15, 3))
+        K = v @ v.T  # rank 3
+        res = linalg.safe_cholesky(jnp.asarray(K))
+        assert bool(res.ok)
+        assert float(res.jitter) > 0.0
+        rec = np.asarray(res.factor) @ np.asarray(res.factor).T
+        np.testing.assert_allclose(rec, K + float(res.jitter) * np.eye(15), atol=1e-6)
+
+    def test_jittable(self, rng):
+        K = _spd(rng, 8)
+        f = jax.jit(lambda m: linalg.safe_cholesky(m).factor)
+        np.testing.assert_allclose(f(jnp.asarray(K)), np.linalg.cholesky(K), rtol=1e-8, atol=1e-10)
+
+
+class TestTriSolve:
+    def test_forward_backward(self, rng):
+        K = _spd(rng, 12)
+        L = np.linalg.cholesky(K)
+        b = rng.standard_normal(12)
+        got_f = linalg.tri_solve(jnp.asarray(L), jnp.asarray(b))
+        want_f = solve_triangular(L, b, lower=True)
+        np.testing.assert_allclose(got_f, want_f, rtol=1e-9)
+        got_b = linalg.tri_solve(jnp.asarray(L), jnp.asarray(b), trans=True)
+        want_b = solve_triangular(L.T, b, lower=False)
+        np.testing.assert_allclose(got_b, want_b, rtol=1e-9)
+
+    def test_matrix_rhs(self, rng):
+        K = _spd(rng, 9)
+        L = np.linalg.cholesky(K)
+        B = rng.standard_normal((9, 4))
+        got = linalg.tri_solve(jnp.asarray(L), jnp.asarray(B))
+        np.testing.assert_allclose(got, solve_triangular(L, B, lower=True), rtol=1e-9)
+
+    def test_cholesky_solve(self, rng):
+        K = _spd(rng, 14)
+        L = np.linalg.cholesky(K)
+        b = rng.standard_normal(14)
+        got = linalg.cholesky_solve(jnp.asarray(L), jnp.asarray(b))
+        np.testing.assert_allclose(got, np.linalg.solve(K, b), rtol=1e-7, atol=1e-9)
+
+    def test_logdet(self, rng):
+        K = _spd(rng, 10)
+        L = np.linalg.cholesky(K)
+        got = linalg.logdet_from_chol(jnp.asarray(L))
+        np.testing.assert_allclose(got, np.linalg.slogdet(K)[1], rtol=1e-9)
+
+
+class TestCG:
+    def test_matches_direct_solve(self, rng):
+        K = _spd(rng, 50, cond=100.0)
+        b = rng.standard_normal(50)
+        A = jnp.asarray(K)
+        st = linalg.cg_solve(lambda v: A @ v, jnp.asarray(b), tol=1e-12, max_iters=200)
+        np.testing.assert_allclose(st.x, np.linalg.solve(K, b), rtol=1e-6, atol=1e-8)
+
+    def test_jacobi_preconditioner_helps(self, rng):
+        # badly scaled diagonal: Jacobi should cut iterations
+        K = _spd(rng, 60, cond=10.0)
+        D = np.diag(np.geomspace(1, 1e4, 60))
+        A = D @ K @ D
+        b = rng.standard_normal(60)
+        Aj = jnp.asarray(A)
+        plain = linalg.cg_solve(lambda v: Aj @ v, jnp.asarray(b), tol=1e-10, max_iters=2000)
+        pre = linalg.cg_solve(
+            lambda v: Aj @ v,
+            jnp.asarray(b),
+            tol=1e-10,
+            max_iters=2000,
+            precond_diag=jnp.asarray(np.diag(A)),
+        )
+        assert int(pre.iters) <= int(plain.iters)
+        np.testing.assert_allclose(pre.x, np.linalg.solve(A, b), rtol=1e-5, atol=1e-7)
+
+    def test_block_rhs(self, rng):
+        K = _spd(rng, 30)
+        B = rng.standard_normal((30, 5))
+        A = jnp.asarray(K)
+        st = linalg.cg_solve(lambda v: A @ v, jnp.asarray(B), tol=1e-12, max_iters=200)
+        np.testing.assert_allclose(st.x, np.linalg.solve(K, B), rtol=1e-6, atol=1e-8)
+
+    def test_jittable(self, rng):
+        K = _spd(rng, 20)
+        b = rng.standard_normal(20)
+        A = jnp.asarray(K)
+        f = jax.jit(lambda rhs: linalg.cg_solve(lambda v: A @ v, rhs, tol=1e-12, max_iters=100).x)
+        np.testing.assert_allclose(f(jnp.asarray(b)), np.linalg.solve(K, b), rtol=1e-6, atol=1e-8)

@@ -1,0 +1,124 @@
+"""Integration parity: exact GP regression vs the float64 oracle on the
+reference's own configuration (SURVEY.md sec. 4 item 3; BASELINE.json config 1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_tpu import gp, ops
+import oracles
+
+NOISE = 5e-4  # [ref: GP_regression.py:120]
+
+
+def _reference_dataset(rng, n_train=5, n_test=100):
+    """Sine dataset with the reference's construction
+    [ref: GP_regression.py:53-68] under a fixed seed."""
+    x_train = rng.uniform(-5, 5, size=(n_train, 1))
+    y_train = np.sin(0.9 * x_train).ravel() + np.sqrt(NOISE) * rng.standard_normal(n_train)
+    x_test = np.linspace(-5, 5, n_test).reshape(-1, 1)
+    return x_train, y_train, x_test
+
+
+class TestExactPosteriorParity:
+    def test_mean_var_lml_match_oracle(self, rng):
+        x_train, y_train, x_test = _reference_dataset(rng)
+        k = ops.RBF()
+        p = k.init_params()  # sigma=1, l=1 [ref: GP_regression.py:121,307]
+
+        post = gp.posterior(k, p, x_train, y_train, x_test, noise_variance=NOISE)
+
+        K = oracles.rbf(x_train, x_train, 1.0, 1.0)
+        K_s = oracles.rbf(x_train, x_test, 1.0, 1.0)
+        kss = np.ones(len(x_test))
+        mean, var, lml, L, alpha, v = oracles.exact_posterior(K, K_s, kss, y_train, NOISE)
+
+        np.testing.assert_allclose(post.mean, mean, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(post.var, np.maximum(var, 0), rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(float(post.lml), lml, rtol=1e-10)
+        np.testing.assert_allclose(post.alpha, alpha, rtol=1e-9, atol=1e-11)
+
+    def test_larger_problem(self, rng):
+        x_train = rng.uniform(-5, 5, size=(200, 3))
+        y_train = rng.standard_normal(200)
+        x_test = rng.uniform(-5, 5, size=(50, 3))
+        k = ops.RBF()
+        p = {"sigma": jnp.asarray(1.4), "lengthscale": jnp.asarray(2.0)}
+        post = gp.posterior(k, p, x_train, y_train, x_test, noise_variance=NOISE)
+
+        K = oracles.rbf(x_train, x_train, 1.4, 2.0)
+        K_s = oracles.rbf(x_train, x_test, 1.4, 2.0)
+        kss = 1.4**2 * np.ones(50)
+        mean, var, lml, *_ = oracles.exact_posterior(K, K_s, kss, y_train, NOISE)
+        np.testing.assert_allclose(post.mean, mean, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(post.var, np.maximum(var, 0), rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(float(post.lml), lml, rtol=1e-9)
+
+    def test_jit_consistency(self, rng):
+        x_train, y_train, x_test = _reference_dataset(rng)
+        k = ops.RBF()
+        p = k.init_params()
+        eager = gp.posterior(k, p, x_train, y_train, x_test)
+        jitted = jax.jit(
+            lambda pp, xt, yt, xs: gp.posterior(k, pp, xt, yt, xs)
+        )(p, x_train, y_train, x_test)
+        np.testing.assert_allclose(eager.mean, jitted.mean, rtol=1e-12)
+        np.testing.assert_allclose(eager.lml, jitted.lml, rtol=1e-12)
+
+
+class TestSampling:
+    def test_prior_sample_stats(self, rng):
+        """RNG paths can't match the reference bitwise (SURVEY.md sec. 7
+        'RNG parity') — match distributionally: zero mean, marginal variance
+        sigma^2 + s."""
+        x = np.linspace(-5, 5, 60).reshape(-1, 1)
+        k = ops.RBF()
+        p = k.init_params()
+        samples = gp.sample_prior(
+            k, p, x, jax.random.key(0), num_functions=4000, jitter=NOISE
+        )
+        assert samples.shape == (60, 4000)
+        emp_mean = np.mean(np.asarray(samples))
+        emp_var = np.var(np.asarray(samples), axis=1).mean()
+        assert abs(emp_mean) < 0.1
+        np.testing.assert_allclose(emp_var, 1.0 + NOISE, rtol=0.1)
+
+    def test_posterior_samples_contract_at_train_points(self, rng):
+        x_train, y_train, x_test = _reference_dataset(rng, n_train=8)
+        k = ops.RBF()
+        p = k.init_params()
+        post = gp.posterior(k, p, x_train, y_train, x_test, noise_variance=NOISE)
+        fs = gp.sample_posterior(
+            k, p, post, x_test, jax.random.key(1), num_functions=2000
+        )
+        assert fs.shape == (100, 2000)
+        # empirical marginal variance should track the analytic posterior var
+        emp = np.var(np.asarray(fs), axis=1)
+        analytic = np.asarray(post.var) + 1e-6
+        # loose distributional check
+        assert np.corrcoef(emp, analytic)[0, 1] > 0.98
+
+
+class TestCGPath:
+    def test_posterior_mean_cg_matches_chol(self, rng):
+        x_train = rng.uniform(-5, 5, size=(120, 2))
+        y_train = rng.standard_normal(120)
+        x_test = rng.uniform(-5, 5, size=(40, 2))
+        k = ops.RBF()
+        p = k.init_params()
+        post = gp.posterior(k, p, x_train, y_train, x_test, noise_variance=NOISE)
+
+        K = ops.gram(k, p, x_train)
+        K_s = ops.gram(k, p, x_train, x_test)
+        mean_cg, st = gp.posterior_mean_cg(
+            lambda v: K @ v,
+            lambda a: K_s.T @ a,
+            jnp.asarray(y_train),
+            noise_variance=NOISE,
+            prior_diag=ops.gram_diag(k, p, x_train),
+            tol=1e-8,
+            max_iters=500,
+        )
+        np.testing.assert_allclose(mean_cg, post.mean, rtol=1e-5, atol=1e-7)
+        assert int(st.iters) < 500
