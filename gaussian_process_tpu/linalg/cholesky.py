@@ -40,24 +40,33 @@ def safe_cholesky(
     K: jnp.ndarray,
     *,
     initial_jitter: float = 0.0,
-    min_retry_jitter: float = 1e-8,
+    min_retry_jitter: float = None,
     jitter_growth: float = 10.0,
-    max_attempts: int = 4,
+    max_attempts: int = 8,
 ) -> CholeskyResult:
-    """Cholesky of K (+ escalating jitter*I on failure), fully jittable.
+    """Cholesky of K (+ escalating jitter*I on failure), jit- AND grad-safe.
 
     ``initial_jitter`` is added unconditionally (use it for the reference's
-    noise term s*I [ref: GP_regression.py:138]); retries start at
-    ``min_retry_jitter`` scaled by mean diagonal magnitude.
+    noise term s*I [ref: GP_regression.py:138]); retries start near machine
+    epsilon for K's dtype, scaled by mean diagonal magnitude (float32 on TPU
+    needs ~1e4x more jitter than the reference's float64 constants assume).
+
+    Grad note: the jitter *search* runs on ``stop_gradient(K)`` inside a
+    ``lax.while_loop`` — reverse-mode AD never differentiates through the
+    retry loop (which JAX forbids); the returned factor comes from one final
+    differentiable factorization at the selected jitter. Under jit, XLA CSEs
+    the duplicate no-retry factorization away.
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
-    scale = jnp.mean(jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1))) + jnp.asarray(
-        1.0, K.dtype
-    )
+    if min_retry_jitter is None:
+        min_retry_jitter = 10.0 * float(jnp.finfo(K.dtype).eps)
 
     K0 = K + jnp.asarray(initial_jitter, K.dtype) * eye
-    L0 = lax.linalg.cholesky(K0)
+    Kng = lax.stop_gradient(K0)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(Kng, axis1=-2, axis2=-1))) + jnp.asarray(
+        1.0, K.dtype
+    )
 
     def cond(state):
         attempt, L, _ = state
@@ -70,16 +79,19 @@ def safe_cholesky(
             * scale
             * (jitter_growth ** attempt.astype(K.dtype))
         )
-        L = lax.linalg.cholesky(K0 + jit_val * eye)
+        L = lax.linalg.cholesky(Kng + jit_val * eye)
         return attempt + 1, L, jit_val
 
     zero = jnp.asarray(0.0, K.dtype)
-    attempt, L, jitter = lax.while_loop(cond, body, (jnp.asarray(0), L0, zero))
-    del attempt
+    L0 = lax.linalg.cholesky(Kng)
+    _, L_ng, jitter = lax.while_loop(cond, body, (jnp.asarray(0), L0, zero))
+
+    # Final differentiable factorization at the (gradient-stopped) jitter.
+    L = lax.linalg.cholesky(K0 + jitter * eye)
     return CholeskyResult(
         factor=L,
         jitter=jitter + jnp.asarray(initial_jitter, K.dtype),
-        ok=_chol_ok(L),
+        ok=_chol_ok(L_ng),
     )
 
 

@@ -15,6 +15,7 @@ the broadcast form.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -38,6 +39,14 @@ def sqdist(a: jnp.ndarray, b: jnp.ndarray, *, method: str = "dot") -> jnp.ndarra
     if method == "diff":
         d = a[:, None, :] - b[None, :, :]
         return jnp.sum(d * d, axis=-1)
+    # Shift both sets by a common center before expanding: sqdist is
+    # shift-invariant, but the expansion's cancellation error scales with
+    # ||x||^2 — uncentered year-valued inputs (x ~ 2000, CO2 workload) lose
+    # ~eps * 4e6 absolute accuracy in float32, which destroys short-lengthscale
+    # kernels. Centering makes the error scale with the data *spread* instead.
+    center = jax.lax.stop_gradient(jnp.mean(a, axis=0, keepdims=True))
+    a = a - center
+    b = b - center
     a2 = jnp.sum(a * a, axis=-1)[:, None]
     b2 = jnp.sum(b * b, axis=-1)[None, :]
     cross = jnp.dot(a, b.T, preferred_element_type=a.dtype)
