@@ -9,6 +9,24 @@ from gaussian_process_tpu.gp.regression import (
     posterior_mean_cg,
 )
 
+from gaussian_process_tpu.gp.classification import (
+    BinaryLaplaceState,
+    BinaryPrediction,
+    laplace_fit,
+    laplace_predict,
+    fit_binary,
+    predict_binary,
+)
+from gaussian_process_tpu.gp.multiclass import (
+    MulticlassLaplaceState,
+    MulticlassPrediction,
+    laplace_fit_multiclass,
+    laplace_predict_multiclass,
+    one_hot_targets,
+    fit_multiclass,
+    predict_multiclass,
+)
+
 __all__ = [
     "Posterior",
     "posterior",
@@ -16,4 +34,17 @@ __all__ = [
     "sample_prior",
     "sample_posterior",
     "posterior_mean_cg",
+    "BinaryLaplaceState",
+    "BinaryPrediction",
+    "laplace_fit",
+    "laplace_predict",
+    "fit_binary",
+    "predict_binary",
+    "MulticlassLaplaceState",
+    "MulticlassPrediction",
+    "laplace_fit_multiclass",
+    "laplace_predict_multiclass",
+    "one_hot_targets",
+    "fit_multiclass",
+    "predict_multiclass",
 ]

@@ -1,0 +1,202 @@
+"""Multi-class GP classification with the Laplace approximation — R&W Alg. 3.3.
+
+Redesign of the reference's multi-class trainer
+[ref: GP_multi_classification.py:36-197]. The reference materialises a dense
+(Cn x Cn) block-diagonal K [ref: :232-238] and — in the trainer it actually
+runs — damps a sign-flipped update until it drifts into a usable region
+(quirks Q3/Q4: hard-coded stride 60 at :55,58,242 and ``+ y + pi`` at :157).
+Its *disabled* trainer [ref: :66-126] has the right block structure; this
+module is that algorithm done properly:
+
+- latent f lives as a (C, n) array — never a (Cn,) stack, so nothing is
+  hard-coded to n=60 (fixes Q3);
+- per-class (n x n) factorizations, **vmapped over classes** — the classes
+  axis is embarrassingly parallel (this is also the distributed axis in
+  parallel/);
+- the Newton update uses the correct y - pi gradient (fixes Q4);
+- everything under one jitted ``lax.while_loop``.
+
+The (Cn x Cn) matrices W = D - PI PI^T and R = D^-1 PI of Alg. 3.3 are never
+materialised: their actions on stacked vectors reduce to row-wise products
+and class sums [W u = pi*u - pi*sum_c(pi_c u_c); R^T u = sum_c u_c].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gaussian_process_tpu.linalg import cholesky as _chol
+from gaussian_process_tpu.ops import kernels as _k
+
+
+class MulticlassLaplaceState(NamedTuple):
+    f_mode: jnp.ndarray  # (C, n)
+    pi: jnp.ndarray  # (C, n) softmax probabilities at the mode
+    lml: jnp.ndarray  # scalar Laplace-approximate log marginal likelihood
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    error_trace: jnp.ndarray  # (max_iters,) ||f_new - f|| per iteration
+
+
+def _softmax_over_classes(f: jnp.ndarray) -> jnp.ndarray:
+    """Column-wise softmax over the class axis of (C, n)
+    [ref: GP_multi_classification.py:26-33,36-63 — vectorised]."""
+    return jax.nn.softmax(f, axis=0)
+
+
+def _w_apply(pi: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """(D - PI PI^T) u for stacked u, both (C, n)."""
+    return pi * u - pi * jnp.sum(pi * u, axis=0, keepdims=True)
+
+
+def laplace_fit_multiclass(
+    K: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    tol: float = None,
+    max_iters: int = 100,
+) -> MulticlassLaplaceState:
+    """Newton to the softmax-Laplace mode.
+
+    ``K``: (C, n, n) per-class prior blocks (the reference uses the same RBF
+    block for every class [ref: GP_multi_classification.py:232-238]).
+    ``y``: (C, n) one-hot targets [ref: :239-243, stride generalised].
+    """
+    C, n = y.shape
+    if tol is None:
+        tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
+    eye = jnp.eye(n, dtype=K.dtype)
+    f0 = jnp.zeros_like(y)
+    trace0 = jnp.full((max_iters,), jnp.nan, dtype=K.dtype)
+
+    def per_class_factor(Kc, swc):
+        # L_c = chol(I + sW_c K_c sW_c); E_c action via triangular solves
+        B = eye + swc[:, None] * Kc * swc[None, :]
+        L = lax.linalg.cholesky(B)
+        return L
+
+    def e_apply(L, sw, u):
+        # E_c u = sW_c L^T \ (L \ (sW_c u))
+        return sw * _chol.cholesky_solve(L, sw * u)
+
+    def step(f):
+        pi = _softmax_over_classes(f)
+        sw = jnp.sqrt(pi)  # D = diag(pi) per class; sqrt(D_c) = sqrt(pi_c)
+        Ls = jax.vmap(per_class_factor)(K, sw)  # (C, n, n)
+
+        b = _w_apply(pi, f) + y - pi  # b = W f + grad  [Alg 3.3 line 7]
+        Kb = jnp.einsum("cij,cj->ci", K, b)
+        c_vec = jax.vmap(e_apply)(Ls, sw, Kb)  # c = E K b
+
+        # M = chol(sum_c E_c): materialise sum of E_c once per iteration.
+        E_mats = jax.vmap(
+            lambda L, swc: swc[:, None]
+            * _chol.cholesky_solve(L, jnp.diag(swc))
+        )(Ls, sw)
+        M = lax.linalg.cholesky(jnp.sum(E_mats, axis=0))
+
+        rc = jnp.sum(c_vec, axis=0)  # R^T c  (R = stacked identities)
+        m_sol = _chol.cholesky_solve(M, rc)
+        a = b - c_vec + jax.vmap(e_apply)(Ls, sw, jnp.broadcast_to(m_sol, (C, n)))
+        f_new = jnp.einsum("cij,cj->ci", K, a)
+        return f_new, a, Ls, pi
+
+    def cond(state):
+        i, _, _, err = state
+        return (i < max_iters) & (err > tol)
+
+    def body(state):
+        i, f, trace, _ = state
+        f_new, *_ = step(f)
+        err = jnp.linalg.norm(f_new - f) / (1.0 + jnp.linalg.norm(f_new))
+        return i + 1, f_new, trace.at[i].set(err), err
+
+    big = jnp.asarray(jnp.inf, K.dtype)
+    iters, f, trace, err = lax.while_loop(cond, body, (jnp.asarray(0), f0, trace0, big))
+
+    f_new, a, Ls, pi = step(f)
+    # approx LML (R&W 3.44): -1/2 a^T f + y^T f - sum_i log sum_c exp f_ci
+    #                        - sum_c sum log diag L_c
+    lml = (
+        -0.5 * jnp.sum(a * f)
+        + jnp.sum(y * f)
+        - jnp.sum(jax.nn.logsumexp(f, axis=0))
+        - jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1)))
+    )
+    return MulticlassLaplaceState(
+        f_mode=f,
+        pi=pi,
+        lml=lml,
+        iters=iters,
+        converged=err <= tol,
+        error_trace=trace,
+    )
+
+
+class MulticlassPrediction(NamedTuple):
+    mean: jnp.ndarray  # (C, m) latent class means
+    prob: jnp.ndarray  # (C, m) softmax of the latent means
+    label: jnp.ndarray  # (m,) argmax class
+
+
+def laplace_predict_multiclass(
+    state: MulticlassLaplaceState,
+    y: jnp.ndarray,
+    K_s: jnp.ndarray,
+) -> MulticlassPrediction:
+    """Batched mean prediction: f_bar*_c = K_s_c^T (y_c - pi_c), argmax over c.
+
+    [ref: GP_multi_classification.py:179-197 — there a Python loop over test
+    points and classes; here one einsum over all of them]
+    ``K_s``: (C, n, m) per-class cross-covariances.
+    """
+    mean = jnp.einsum("cnm,cn->cm", K_s, y - state.pi)
+    prob = jax.nn.softmax(mean, axis=0)
+    return MulticlassPrediction(mean=mean, prob=prob, label=jnp.argmax(mean, axis=0))
+
+
+def one_hot_targets(y_labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(C, n) one-hot matrix from integer labels — generalises the
+    reference's ``y_train * 60 + index`` indexing (quirk Q3)
+    [ref: GP_multi_classification.py:239-243]."""
+    return jax.nn.one_hot(y_labels, num_classes, axis=0, dtype=jnp.result_type(float))
+
+
+def fit_multiclass(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_labels: jnp.ndarray,
+    num_classes: int,
+    *,
+    tol: float = None,
+    max_iters: int = 100,
+    dist_method: str = "dot",
+) -> MulticlassLaplaceState:
+    """Shared-kernel convenience wrapper (the reference gives every class the
+    same RBF block [ref: GP_multi_classification.py:232-238])."""
+    Kc = _k.gram(kernel, params, x_train, method=dist_method)
+    K = jnp.broadcast_to(Kc, (num_classes,) + Kc.shape)
+    y = one_hot_targets(y_labels, num_classes).astype(Kc.dtype)
+    return laplace_fit_multiclass(K, y, tol=tol, max_iters=max_iters)
+
+
+def predict_multiclass(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    state: MulticlassLaplaceState,
+    x_train: jnp.ndarray,
+    y_labels: jnp.ndarray,
+    x_test: jnp.ndarray,
+    num_classes: int,
+    *,
+    dist_method: str = "dot",
+) -> MulticlassPrediction:
+    K_s = _k.gram(kernel, params, x_train, x_test, method=dist_method)
+    K_s = jnp.broadcast_to(K_s, (num_classes,) + K_s.shape)
+    y = one_hot_targets(y_labels, num_classes).astype(K_s.dtype)
+    return laplace_predict_multiclass(state, y, K_s)

@@ -1,0 +1,181 @@
+"""Laplace-GPC parity tests: binary vs float64 true-Newton oracle, multi-class
+vs a dense full-system Newton oracle, accuracies on the reference's datasets
+(moons / blobs) [BASELINE.json configs 4-5].
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.datasets import make_moons, make_blobs
+from sklearn.model_selection import train_test_split
+from sklearn.preprocessing import StandardScaler
+
+from gaussian_process_tpu import gp, ops
+import oracles
+
+
+def _moons():
+    """[ref: GP_binary_classification.py:13-32,160-161] — moons, labels in
+    {-1,+1}, standardised, 60/40 split, random_state=42."""
+    X, y = make_moons(noise=0.3, random_state=0)
+    y = np.where(y == 0, -1, 1)
+    X = StandardScaler().fit_transform(X)
+    return train_test_split(X, y, test_size=0.4, random_state=42)
+
+
+def _blobs():
+    """[ref: GP_multi_classification.py:200-211,215-220] — 3 blobs, 60/40."""
+    X, y = make_blobs(n_features=2, centers=3, random_state=7)
+    return train_test_split(X, y, test_size=0.4, random_state=42)
+
+
+class TestBinaryLaplace:
+    def test_mode_matches_oracle(self, rng):
+        X_train, _, y_train, _ = _moons()
+        K = oracles.rbf(X_train, X_train, 1.0, 1.0)
+        f_oracle, a, L, sW, grad = oracles.laplace_binary_mode(K, y_train.astype(float))
+
+        state = gp.laplace_fit(jnp.asarray(K), jnp.asarray(y_train, dtype=jnp.float64))
+        assert bool(state.converged)
+        np.testing.assert_allclose(state.f_mode, f_oracle, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(state.sqrt_w, sW, rtol=1e-6, atol=1e-8)
+
+    def test_mode_self_consistency(self):
+        """At the mode, f = K (t - pi(f)) — the stationarity condition."""
+        X_train, _, y_train, _ = _moons()
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_binary(k, p, X_train, jnp.asarray(y_train, dtype=jnp.float64))
+        K = np.asarray(ops.gram(k, p, X_train))
+        np.testing.assert_allclose(
+            state.f_mode, K @ np.asarray(state.grad_at_mode), rtol=1e-5, atol=1e-6
+        )
+
+    def test_prediction_matches_oracle(self):
+        X_train, X_test, y_train, _ = _moons()
+        K = oracles.rbf(X_train, X_train, 1.0, 1.0)
+        K_s = oracles.rbf(X_train, X_test, 1.0, 1.0)
+        kss = np.ones(len(X_test))
+        f, a, L, sW, grad = oracles.laplace_binary_mode(K, y_train.astype(float))
+        mean_o, var_o = oracles.laplace_binary_predict(K_s, kss, grad, L, sW)
+
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_binary(k, p, X_train, jnp.asarray(y_train, dtype=jnp.float64))
+        pred = gp.predict_binary(k, p, state, X_train, X_test)
+        np.testing.assert_allclose(pred.mean, mean_o, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(pred.var, np.maximum(var_o, 0), rtol=1e-5, atol=1e-7)
+
+    def test_accuracy_on_moons(self):
+        """The reference's reported metric [ref: GP_binary_classification.py:241].
+        With true Newton the accuracy must be at least solid on moons."""
+        X_train, X_test, y_train, y_test = _moons()
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_binary(k, p, X_train, jnp.asarray(y_train, dtype=jnp.float64))
+        pred = gp.predict_binary(k, p, state, X_train, X_test)
+        acc = float(np.mean(np.asarray(pred.label) == y_test))
+        assert acc >= 0.85, acc
+
+    def test_newton_converges_fast(self):
+        """True Newton takes O(10) iterations, not the reference's thousands."""
+        X_train, _, y_train, _ = _moons()
+        k = ops.RBF()
+        state = gp.fit_binary(
+            k, k.init_params(), X_train, jnp.asarray(y_train, dtype=jnp.float64)
+        )
+        assert int(state.iters) < 30
+
+
+def _multiclass_full_newton_oracle(K_block, Y, max_iters=100, tol=1e-10):
+    """Dense (Cn x Cn) Newton on the stacked system — slow but direct:
+    f_new = K a with a from the standard Laplace update using explicit
+    W = D - PI PI^T. Ground truth for the blocked/vmapped implementation."""
+    C, n = Y.shape
+    Kfull = np.zeros((C * n, C * n))
+    for c in range(C):
+        Kfull[c * n : (c + 1) * n, c * n : (c + 1) * n] = K_block
+    f = np.zeros(C * n)
+    y = Y.reshape(-1)
+    for _ in range(max_iters):
+        F = f.reshape(C, n)
+        P = np.exp(F - F.max(0)) / np.exp(F - F.max(0)).sum(0)
+        pi = P.reshape(-1)
+        Pi = np.zeros((C * n, n))
+        for c in range(C):
+            Pi[c * n : (c + 1) * n, :] = np.diag(P[c])
+        W = np.diag(pi) - Pi @ Pi.T
+        b = W @ f + y - pi
+        A = np.eye(C * n) + W @ Kfull
+        a = np.linalg.solve(A, b)
+        f_new = Kfull @ a
+        if np.linalg.norm(f_new - f) < tol:
+            f = f_new
+            break
+        f = f_new
+    F = f.reshape(C, n)
+    P = np.exp(F - F.max(0)) / np.exp(F - F.max(0)).sum(0)
+    return F, P
+
+
+class TestMulticlassLaplace:
+    def test_mode_matches_full_system_oracle(self):
+        X_train, _, y_train, _ = _blobs()
+        X_train, y_train = X_train[:30], y_train[:30]  # keep the dense oracle fast
+        C = 3
+        K = oracles.rbf(X_train, X_train, 1.0, 1.0)
+        Y = np.eye(C)[:, y_train]
+        F_o, P_o = _multiclass_full_newton_oracle(K, Y)
+
+        k = ops.RBF()
+        state = gp.fit_multiclass(
+            k, k.init_params(), X_train, jnp.asarray(y_train), C, tol=1e-10
+        )
+        assert bool(state.converged)
+        np.testing.assert_allclose(state.f_mode, F_o, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(state.pi, P_o, rtol=1e-5, atol=1e-7)
+
+    def test_mode_self_consistency(self):
+        X_train, _, y_train, _ = _blobs()
+        C = 3
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_multiclass(k, p, X_train, jnp.asarray(y_train), C, tol=1e-10)
+        K = np.asarray(ops.gram(k, p, X_train))
+        Y = np.eye(C)[:, y_train]
+        # stationarity: f_c = K (y_c - pi_c)
+        np.testing.assert_allclose(
+            state.f_mode, (Y - np.asarray(state.pi)) @ K.T, rtol=1e-4, atol=1e-5
+        )
+
+    def test_accuracy_on_blobs(self):
+        """The reference's reported metric [ref: GP_multi_classification.py:253]."""
+        X_train, X_test, y_train, y_test = _blobs()
+        C = 3
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_multiclass(k, p, X_train, jnp.asarray(y_train), C)
+        pred = gp.predict_multiclass(
+            k, p, state, X_train, jnp.asarray(y_train), X_test, C
+        )
+        acc = float(np.mean(np.asarray(pred.label) == y_test))
+        assert acc >= 0.9, acc
+
+    def test_arbitrary_n_not_stride60(self):
+        """Quirk Q3 regression guard: works for n != 60."""
+        X, y = make_blobs(n_features=2, centers=3, n_samples=47, random_state=3)
+        k = ops.RBF()
+        state = gp.fit_multiclass(k, k.init_params(), X, jnp.asarray(y), 3)
+        assert state.f_mode.shape == (3, 47)
+        assert bool(jnp.isfinite(state.f_mode).all())
+
+    def test_probs_sum_to_one(self):
+        X_train, X_test, y_train, _ = _blobs()
+        k = ops.RBF()
+        p = k.init_params()
+        state = gp.fit_multiclass(k, p, X_train, jnp.asarray(y_train), 3)
+        pred = gp.predict_multiclass(
+            k, p, state, X_train, jnp.asarray(y_train), X_test, 3
+        )
+        np.testing.assert_allclose(np.asarray(pred.prob).sum(0), 1.0, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(state.pi).sum(0), 1.0, rtol=1e-8)
