@@ -41,6 +41,7 @@ class _DistCache:
         self.x1 = _dist._as_2d(x1)
         self.x2 = _dist._as_2d(x2)
         self.method = method
+        self.shape = (self.x1.shape[0], self.x2.shape[0])
         self._sq: Optional[jnp.ndarray] = None
         self._l2: Optional[jnp.ndarray] = None
 
@@ -54,6 +55,30 @@ class _DistCache:
     def l2(self) -> jnp.ndarray:
         if self._l2 is None:
             self._l2 = jnp.sqrt(self.sq)
+        return self._l2
+
+
+class TileDistCache:
+    """Distance 'cache' over a precomputed tile — lets the same kernel tree
+    evaluate inside a Pallas tile program (ops/pallas), where sqdist is
+    computed on-chip per (block_row, block_col) tile. Only stationary kernels
+    can be evaluated this way (Linear needs raw coordinates)."""
+
+    def __init__(self, sq: jnp.ndarray, l2: Optional[jnp.ndarray] = None):
+        self._sq = sq
+        self._l2 = l2
+        self.shape = sq.shape
+        self.x1 = None
+        self.x2 = None
+
+    @property
+    def sq(self) -> jnp.ndarray:
+        return self._sq
+
+    @property
+    def l2(self) -> jnp.ndarray:
+        if self._l2 is None:
+            self._l2 = jnp.sqrt(self._sq)
         return self._l2
 
 
@@ -206,8 +231,8 @@ class White(Kernel):
         return {"amplitude": jnp.asarray(1.0)}
 
     def _eval(self, params, cache, same):
-        n, m = cache.x1.shape[0], cache.x2.shape[0]
-        dt = jnp.result_type(cache.x1)
+        n, m = cache.shape
+        dt = jnp.result_type(cache.sq)
         if not same:
             return jnp.zeros((n, m), dtype=dt)
         return (params["amplitude"] ** 2) * jnp.eye(n, dtype=dt)
@@ -355,6 +380,64 @@ def co2_vector_from_params(params: Params) -> jnp.ndarray:
             params[4]["amplitude"],
         ]
     )
+
+
+def is_stationary(kernel: Kernel) -> bool:
+    """True if every leaf depends on inputs only through pairwise distances
+    (evaluable from a TileDistCache)."""
+    if isinstance(kernel, (Sum, Product)):
+        return all(is_stationary(c) for c in kernel.children)
+    if isinstance(kernel, Scaled):
+        return is_stationary(kernel.base)
+    return isinstance(
+        kernel, (RBF, Periodic, DecayedPeriodic, RationalQuadratic, White)
+    )
+
+
+def needs_l2(kernel: Kernel) -> bool:
+    """True if any leaf reads the l2 (not squared) distance."""
+    if isinstance(kernel, (Sum, Product)):
+        return any(needs_l2(c) for c in kernel.children)
+    if isinstance(kernel, Scaled):
+        return needs_l2(kernel.base)
+    return isinstance(kernel, (Periodic, DecayedPeriodic))
+
+
+def split_white(kernel: Kernel, params: Params):
+    """Split top-level White terms out of a Sum: returns
+    (kernel_without_white, params_without_white, white_variance_or_None).
+
+    The Pallas tile path handles the white diagonal via a global-index mask
+    instead of evaluating an identity per tile.
+    """
+    if isinstance(kernel, White):
+        return None, None, params["amplitude"] ** 2
+    if isinstance(kernel, Sum):
+        keep_k, keep_p, white = [], [], None
+        for c, p in zip(kernel.children, params):
+            if isinstance(c, White):
+                w = p["amplitude"] ** 2
+                white = w if white is None else white + w
+            else:
+                keep_k.append(c)
+                keep_p.append(p)
+        if white is None:
+            return kernel, params, None
+        if not keep_k:
+            return None, None, white
+        if len(keep_k) == 1:
+            return keep_k[0], keep_p[0], white
+        return Sum(children=tuple(keep_k)), tuple(keep_p), white
+    return kernel, params, None
+
+
+def eval_from_distances(
+    kernel: Kernel, params: Params, sq: jnp.ndarray, l2: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Evaluate a stationary kernel tree on precomputed distance tiles
+    (same=False semantics: White contributes zero — callers add the white
+    diagonal themselves)."""
+    return kernel._eval(params, TileDistCache(sq, l2), same=False)
 
 
 def tree_map_params(fn, params: Params) -> Params:

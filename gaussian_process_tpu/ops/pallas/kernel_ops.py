@@ -1,0 +1,273 @@
+"""Pallas TPU kernels for kernel-matrix construction and matrix-free matvec.
+
+This is the framework's "native" tier (SURVEY.md sec. 2: the reference has no
+native code; Pallas/Mosaic kernels discharge the native-equivalent
+obligation): the performance-critical ops compile to Mosaic rather than
+generic XLA.
+
+Two entry points:
+
+- :func:`gram` — materialise K(x1, x2) in (TILE_M, TILE_N) tiles. Per tile:
+  one (TILE_M, d_pad) x (d_pad, TILE_N) MXU matmul for the cross term of
+  ||a-b||^2 = ||a||^2 + ||b||^2 - 2ab^T, then the stationary kernel's
+  elementwise math on the VPU, fused in-register — the reference's broadcast
+  subtraction [ref: GP_regression.py:18] materialises an (n, d, m)
+  intermediate in HBM instead.
+
+- :func:`gram_matvec` — fused K(x1, x2) @ V with K **never materialised**:
+  each grid step computes one K tile in VMEM, multiplies into the output
+  accumulator, and discards it. HBM traffic is O(n*d + n*r) instead of
+  O(n^2); this is what makes CG at n = 100k possible on a 16 GB chip
+  (K at 100k^2 f32 = 40 GB).
+
+Kernel hyperparameters stream through SMEM as a flattened leaf vector, so one
+compiled program serves every (params) value — jit-friendly for the LML
+optimisation loop. Only stationary kernels run here (Linear needs raw
+coordinates; use the XLA path). Gradients also take the XLA path — these
+kernels are the inference/solve fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_process_tpu.ops import kernels as _k
+
+LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _auto_interpret(interpret: Optional[bool]) -> bool:
+    # CPU has no Mosaic: tests run the same kernels interpreted
+    # (SURVEY.md sec. 7 build plan, step 1).
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+def _prep(x: jnp.ndarray, rows_pad: int, d_pad: int, dtype) -> jnp.ndarray:
+    x = _k._dist._as_2d(x).astype(dtype)
+    n, d = x.shape
+    return jnp.pad(x, ((0, rows_pad - n), (0, d_pad - d)))
+
+
+def _flatten_params(params, dtype):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    vec = jnp.stack([jnp.asarray(l, dtype=dtype) for l in leaves])
+    return vec, treedef
+
+
+def _tile_sqdist(a, b):
+    """||a_i - b_j||^2 for row-tiles a (TM, d), b (TN, d): MXU cross term +
+    VPU rank-1 corrections, computed in f32."""
+    a2 = jnp.sum(a * a, axis=1)[:, None]
+    b2 = jnp.sum(b * b, axis=1)[None, :]
+    cross = lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+
+
+def _make_tile_eval(kernel, treedef, n_leaves, want_l2):
+    """Returns f(params_ref, a_tile, b_tile) -> K tile, evaluating the
+    stationary kernel tree on-chip."""
+
+    def tile_eval(params_ref, a, b):
+        leaves = [params_ref[i] for i in range(n_leaves)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        sq = _tile_sqdist(a, b)
+        l2 = jnp.sqrt(sq) if want_l2 else None
+        return _k.eval_from_distances(kernel, params, sq, l2)
+
+    return tile_eval
+
+
+def gram(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x1: jnp.ndarray,
+    x2: Optional[jnp.ndarray] = None,
+    *,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    interpret: Optional[bool] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dense K(x1, x2) built tile-by-tile on the MXU/VPU.
+
+    Same-set semantics match ops.gram: x2=None adds White's diagonal (via a
+    global-index mask, not a materialised identity).
+    """
+    if not _k.is_stationary(kernel):
+        raise ValueError("pallas gram supports stationary kernels only")
+    same = x2 is None
+    if same:
+        x2 = x1
+
+    body, white, params_vec, x1p, x2p, grid_info = _build_common(
+        kernel, params, x1, x2, same, tile_m, tile_n, dtype
+    )
+    n, m, n_pad, m_pad, d_pad = grid_info
+    grid = (_cdiv(n_pad, tile_m), _cdiv(m_pad, tile_n))
+
+    def kern(params_ref, x1_ref, x2_ref, out_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        tile = body(params_ref, x1_ref[:], x2_ref[:])
+        if white is not None:
+            rows = i * tile_m + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
+            cols = j * tile_n + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+            tile = tile + jnp.where(rows == cols, params_ref[white], 0.0)
+        out_ref[:] = tile.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=_auto_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * d_pad + 8 * n_pad * m_pad,
+            bytes_accessed=(n_pad + m_pad) * d_pad * 4 + n_pad * m_pad * 4,
+            transcendentals=n_pad * m_pad,
+        ),
+    )(params_vec, x1p, x2p)
+    return out[:n, :m]
+
+
+def gram_matvec(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x1: jnp.ndarray,
+    x2: Optional[jnp.ndarray],
+    v: jnp.ndarray,
+    *,
+    tile_m: int = 512,
+    tile_n: int = 512,
+    interpret: Optional[bool] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """K(x1, x2) @ v without materialising K (matrix-free; powers CG).
+
+    ``v``: (m,) or (m, r) — r right-hand sides ride the same K tiles.
+    x2=None means same-set incl. White's diagonal.
+    """
+    if not _k.is_stationary(kernel):
+        raise ValueError("pallas gram_matvec supports stationary kernels only")
+    same = x2 is None
+    if same:
+        x2 = x1
+    vec_in = v.ndim == 1
+    if vec_in:
+        v = v[:, None]
+    r = v.shape[1]
+    r_pad = max(8, _round_up(r, 8))
+
+    body, white, params_vec, x1p, x2p, grid_info = _build_common(
+        kernel, params, x1, x2, same, tile_m, tile_n, dtype
+    )
+    n, m, n_pad, m_pad, d_pad = grid_info
+    vp = jnp.pad(v.astype(dtype), ((0, m_pad - m), (0, r_pad - r)))
+    grid = (_cdiv(n_pad, tile_m), _cdiv(m_pad, tile_n))
+
+    def kern(params_ref, x1_ref, x2_ref, v_ref, out_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        tile = body(params_ref, x1_ref[:], x2_ref[:])
+        if white is not None:
+            rows = i * tile_m + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
+            cols = j * tile_n + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+            tile = tile + jnp.where(rows == cols, params_ref[white], 0.0)
+        part = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = part.astype(out_ref.dtype)
+
+        @pl.when(j > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, r_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, r_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_auto_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d_pad + r_pad) + 8 * n_pad * m_pad,
+            bytes_accessed=(n_pad + m_pad) * d_pad * 4 + m_pad * r_pad * 4,
+            transcendentals=n_pad * m_pad,
+        ),
+    )(params_vec, x1p, x2p, vp)
+    out = out[:n, :r]
+    return out[:, 0] if vec_in else out
+
+
+def _build_common(kernel, params, x1, x2, same, tile_m, tile_n, dtype):
+    """Shared preparation: strip White, center inputs, pad, flatten params."""
+    if same:
+        k_nw, p_nw, white_var = _k.split_white(kernel, params)
+        if k_nw is None:
+            raise ValueError("pure-White kernels need no Pallas gram")
+    else:
+        k_nw, p_nw, white_var = kernel, params, None
+
+    x1 = _k._dist._as_2d(x1)
+    x2 = _k._dist._as_2d(x2)
+    n, d = x1.shape
+    m = x2.shape[0]
+    # center for f32 accuracy (see ops/distance.py)
+    center = lax.stop_gradient(jnp.mean(x1, axis=0, keepdims=True))
+    x1 = x1 - center
+    x2 = x2 - center
+
+    n_pad = _round_up(n, tile_m)
+    m_pad = _round_up(m, tile_n)
+    d_pad = _round_up(max(d, 1), LANE)
+    x1p = _prep(x1, n_pad, d_pad, dtype)
+    x2p = _prep(x2, m_pad, d_pad, dtype)
+
+    params_vec, treedef = _flatten_params(p_nw, dtype)
+    n_leaves = params_vec.shape[0]
+    if white_var is not None:
+        params_vec = jnp.concatenate(
+            [params_vec, jnp.asarray(white_var, dtype)[None]]
+        )
+        white_idx = n_leaves
+    else:
+        white_idx = None
+
+    want_l2 = _k.needs_l2(k_nw)
+    body = _make_tile_eval(k_nw, treedef, n_leaves, want_l2)
+    return body, white_idx, params_vec, x1p, x2p, (n, m, n_pad, m_pad, d_pad)

@@ -1,1 +1,28 @@
-"""(populated in later milestones)"""
+"""Multi-chip scale-out: mesh, sharded kernel blocks, distributed solves."""
+
+from gaussian_process_tpu.parallel.mesh import (
+    make_mesh,
+    shard_rows,
+    replicated,
+    pad_to_multiple,
+)
+from gaussian_process_tpu.parallel.kernel_blocks import sharded_gram, ring_matvec
+from gaussian_process_tpu.parallel.cg import distributed_posterior_mean_cg
+from gaussian_process_tpu.parallel.restarts import (
+    sharded_lml,
+    sharded_gradient_restarts,
+    best_restart,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_rows",
+    "replicated",
+    "pad_to_multiple",
+    "sharded_gram",
+    "ring_matvec",
+    "distributed_posterior_mean_cg",
+    "sharded_lml",
+    "sharded_gradient_restarts",
+    "best_restart",
+]

@@ -1,0 +1,89 @@
+"""Distributed conjugate-gradient GP solves over a device mesh (SURVEY.md C14).
+
+The whole CG iteration runs *inside* ``shard_map``: vectors stay row-sharded,
+the matvec is the ring kernel matvec (kernel_blocks.ring_matvec's local body),
+and inner products reduce with ``psum`` over ICI. One jitted program; no host
+round-trips per iteration.
+
+No reference equivalent (single-chip ``np.linalg`` everywhere,
+e.g. [ref: GP_regression.py:138]).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussian_process_tpu.linalg import cg as _cg
+from gaussian_process_tpu.ops import kernels as _k
+
+
+def distributed_posterior_mean_cg(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    noise_variance: float = 5e-4,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+    dist_method: str = "dot",
+    block_fn=None,
+):
+    """Posterior mean mu* = K_s^T (K + sI)^-1 y at scale.
+
+    x, y row-sharded over ``axis``; x_test replicated. Returns
+    (mean (replicated), alpha (sharded), iters, resnorm).
+    """
+    k_nw, p_nw, white_var = _k.split_white(kernel, params)
+    diag_shift = noise_variance + (white_var if white_var is not None else 0.0)
+    if block_fn is None:
+        def block_fn(xl, xb, vb):
+            return _k.gram(k_nw, p_nw, xl, xb, method=dist_method) @ vb
+
+    def fn(x_local, y_local, x_test_rep):
+        p = lax.axis_size(axis)
+        perm = [(i, (i + 1) % p) for i in range(p)]
+
+        def matvec(v_local):
+            def body(step, carry):
+                xb, vb, acc = carry
+                acc = acc + block_fn(x_local, xb, vb)
+                xb = lax.ppermute(xb, axis, perm)
+                vb = lax.ppermute(vb, axis, perm)
+                return xb, vb, acc
+
+            acc0 = jnp.zeros_like(v_local)
+            _, _, acc = lax.fori_loop(0, p, body, (x_local, v_local, acc0))
+            return acc + diag_shift * v_local
+
+        pdot = lambda u, v: lax.psum(jnp.sum(u * v, axis=0), axis)
+        prior_diag = _k.gram_diag(k_nw, p_nw, x_local) + diag_shift
+        state = _cg.cg_solve(
+            matvec,
+            y_local,
+            tol=tol,
+            max_iters=max_iters,
+            precond_diag=prior_diag,
+            dot=pdot,
+        )
+        # cross term: mu* = sum over shards of K(x_test, x_local) @ alpha_local
+        mean_local = _k.gram(k_nw, p_nw, x_test_rep, x_local, method=dist_method) @ state.x
+        mean = lax.psum(mean_local, axis)
+        return mean, state.x, state.iters, state.resnorm
+
+    mean, alpha, iters, resnorm = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False,
+    )(x, y, x_test)
+    return mean, alpha, iters, resnorm

@@ -1,0 +1,72 @@
+"""Pallas tile kernels vs the dense XLA path (interpret mode on CPU).
+
+SURVEY.md sec. 4 item 1: 'Pallas kernel-matrix tiles vs jnp dense reference'.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_process_tpu import ops
+from gaussian_process_tpu.ops import pallas as pops
+
+BOOK = np.array([66, 67, 2.4, 90, 1.3, 0.66, 1.2, 0.78, 0.18, 1.6, 0.19])
+
+
+def _x(rng, n, d):
+    return rng.uniform(-5, 5, size=(n, d)).astype(np.float32)
+
+
+class TestPallasGram:
+    @pytest.mark.parametrize("n,m,d", [(300, 200, 3), (256, 256, 1), (40, 513, 7)])
+    def test_rbf_matches_xla(self, rng, n, m, d):
+        a, b = _x(rng, n, d), _x(rng, m, d)
+        k = ops.RBF()
+        p = {"sigma": jnp.asarray(1.5), "lengthscale": jnp.asarray(0.8)}
+        got = pops.gram(k, p, a, b, interpret=True)
+        want = ops.gram(k, p, jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_same_set_white_diagonal(self, rng):
+        a = _x(rng, 100, 2)
+        k = ops.co2_kernel()
+        p = ops.co2_params_from_vector(jnp.asarray(BOOK, jnp.float32))
+        got = pops.gram(k, p, a, interpret=True)
+        want = ops.gram(k, p, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-3)
+
+    def test_rejects_nonstationary(self, rng):
+        a = _x(rng, 16, 2)
+        with pytest.raises(ValueError):
+            pops.gram(ops.Linear(), ops.Linear().init_params(), a, a, interpret=True)
+
+
+class TestPallasMatvec:
+    @pytest.mark.parametrize("r", [None, 1, 4])
+    def test_matches_dense_matvec(self, rng, r):
+        a, b = _x(rng, 300, 3), _x(rng, 200, 3)
+        v = rng.standard_normal((200,) if r is None else (200, r)).astype(np.float32)
+        k = ops.RBF()
+        p = k.init_params()
+        got = pops.gram_matvec(k, p, a, b, jnp.asarray(v), interpret=True)
+        K = ops.gram(k, p, jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+        want = np.asarray(K) @ v
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_same_set_with_white(self, rng):
+        a = _x(rng, 130, 2)
+        v = rng.standard_normal(130).astype(np.float32)
+        k = ops.RBF() + ops.White()
+        p = (ops.RBF().init_params(), {"amplitude": jnp.asarray(0.5)})
+        got = pops.gram_matvec(k, p, a, None, jnp.asarray(v), interpret=True)
+        K = ops.gram(k, p, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(got, np.asarray(K) @ v, rtol=2e-4, atol=2e-4)
+
+    def test_tile_size_invariance(self, rng):
+        a = _x(rng, 100, 2)
+        v = rng.standard_normal(100).astype(np.float32)
+        k = ops.RBF()
+        p = k.init_params()
+        g1 = pops.gram_matvec(k, p, a, None, jnp.asarray(v), tile_m=64, tile_n=64, interpret=True)
+        g2 = pops.gram_matvec(k, p, a, None, jnp.asarray(v), tile_m=256, tile_n=128, interpret=True)
+        np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
