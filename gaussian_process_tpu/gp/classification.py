@@ -55,12 +55,16 @@ def laplace_fit(
     *,
     tol: float = None,
     max_iters: int = 100,
+    f_init: jnp.ndarray = None,
 ) -> BinaryLaplaceState:
     """Newton iteration to the Laplace mode given a dense prior K.
 
     Each step (R&W Alg. 3.1): W = pi(1-pi); L = chol(I + sW K sW);
     b = W f + (t - pi); a = b - sW L^T \\ (L \\ (sW (K b))); f <- K a.
     [ref: GP_binary_classification.py:101-111 — with W, grad recomputed]
+
+    ``f_init`` warm-starts the iteration (checkpoint/resume of a Newton run;
+    default zeros, R&W's recommended start).
     """
     n = y.shape[0]
     if tol is None:
@@ -69,7 +73,7 @@ def laplace_fit(
         tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
     t = (y + 1.0) / 2.0
     eye = jnp.eye(n, dtype=K.dtype)
-    f0 = jnp.zeros_like(y)
+    f0 = jnp.zeros_like(y) if f_init is None else jnp.asarray(f_init, K.dtype)
     trace0 = jnp.full((max_iters,), jnp.nan, dtype=K.dtype)
 
     def step(f):
@@ -156,13 +160,14 @@ def fit_binary(
     tol: float = None,
     max_iters: int = 100,
     dist_method: str = "dot",
+    f_init: jnp.ndarray = None,
 ) -> BinaryLaplaceState:
     """Convenience wrapper: build K with the kernel algebra, then Newton.
 
     [ref: GP_binary_classification.py:179 builds K with RBF sigma=l=1]
     """
     K = _k.gram(kernel, params, x_train, method=dist_method)
-    return laplace_fit(K, y_train, tol=tol, max_iters=max_iters)
+    return laplace_fit(K, y_train, tol=tol, max_iters=max_iters, f_init=f_init)
 
 
 def predict_binary(
