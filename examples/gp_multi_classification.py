@@ -1,0 +1,81 @@
+"""Multi-class Laplace GP classification on three Gaussian blobs.
+
+[ref: GP_multi_classification.py:214-253 (__main__): blobs C=3, n=100, 60/40
+split, shared RBF block per class, Laplace fit, accuracy print at :253].
+Differences from the reference: block-structured R&W Alg 3.3 with per-class
+n x n factorizations (the reference's *disabled* trainer at :66-126) instead
+of one (Cn)x(Cn) Cholesky, the stride-60 hard-coding (quirk Q3) generalised,
+and the sign quirk Q4 fixed.
+
+Run: python examples/gp_multi_classification.py [--out /tmp/gpmc_out]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_tpu import gp, ops
+from gaussian_process_tpu.utils import datasets, plotting
+from gaussian_process_tpu.utils.logging import JsonlLogger
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--centers", type=int, default=3)
+    ap.add_argument("--n-samples", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default="artifacts/gp_multiclass")
+    args = ap.parse_args()
+
+    X_train, X_test, y_train, y_test = datasets.blobs_multiclass(
+        centers=args.centers, n_samples=args.n_samples, seed=args.seed
+    )
+    kernel = ops.RBF()
+    params = kernel.init_params()
+    Xtr = jnp.asarray(X_train, jnp.float32)
+    Xte = jnp.asarray(X_test, jnp.float32)
+    ytr = jnp.asarray(y_train)
+
+    state = gp.fit_multiclass(kernel, params, Xtr, ytr, args.centers)
+    pred = gp.predict_multiclass(
+        kernel, params, state, Xtr, ytr, Xte, args.centers
+    )
+    acc = float((np.asarray(pred.label) == y_test).mean())
+
+    os.makedirs(args.out, exist_ok=True)
+    with JsonlLogger(os.path.join(args.out, "run.jsonl")) as log:
+        errors = np.asarray(state.error_trace)
+        for i, e in enumerate(errors[np.isfinite(errors)]):
+            log.newton_step(i + 1, float(e))
+        log.log(
+            "multiclass_done",
+            centers=args.centers,
+            accuracy=acc,
+            newton_iters=int(state.iters),
+            converged=bool(state.converged),
+        )
+
+    plotting.plot_convergence(
+        np.asarray(state.error_trace), os.path.join(args.out, "newton.png"),
+        title="Newton convergence (multi-class Laplace)",
+    )
+    plotting.plot_classification_2d(
+        X_train, y_train, X_test, np.asarray(pred.label),
+        os.path.join(args.out, "classification.png"),
+        title=f"blobs C={args.centers}: accuracy {acc:.2%}",
+    )
+
+    # the reference's print [ref: GP_multi_classification.py:253]
+    print(f"prediction accuracy: {acc:.4f}")
+    print(f"Newton converged in {int(state.iters)} iterations")
+    print(f"artifacts in {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

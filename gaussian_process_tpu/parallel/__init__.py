@@ -7,10 +7,15 @@ from gaussian_process_tpu.parallel.mesh import (
     pad_to_multiple,
 )
 from gaussian_process_tpu.parallel.kernel_blocks import sharded_gram, ring_matvec
-from gaussian_process_tpu.parallel.cg import distributed_posterior_mean_cg
+from gaussian_process_tpu.parallel.cg import (
+    distributed_posterior_mean_cg,
+    make_posterior_mean_cg,
+)
 from gaussian_process_tpu.parallel.restarts import (
     sharded_lml,
+    make_sharded_lml,
     sharded_gradient_restarts,
+    make_sharded_gradient_restarts,
     best_restart,
 )
 
@@ -22,7 +27,10 @@ __all__ = [
     "sharded_gram",
     "ring_matvec",
     "distributed_posterior_mean_cg",
+    "make_posterior_mean_cg",
     "sharded_lml",
+    "make_sharded_lml",
     "sharded_gradient_restarts",
+    "make_sharded_gradient_restarts",
     "best_restart",
 ]

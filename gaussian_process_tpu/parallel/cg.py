@@ -22,12 +22,8 @@ from gaussian_process_tpu.linalg import cg as _cg
 from gaussian_process_tpu.ops import kernels as _k
 
 
-def distributed_posterior_mean_cg(
+def make_posterior_mean_cg(
     kernel: _k.Kernel,
-    params: _k.Params,
-    x: jnp.ndarray,
-    y: jnp.ndarray,
-    x_test: jnp.ndarray,
     *,
     mesh: Mesh,
     axis: str = "data",
@@ -37,25 +33,30 @@ def distributed_posterior_mean_cg(
     dist_method: str = "dot",
     block_fn=None,
 ):
-    """Posterior mean mu* = K_s^T (K + sI)^-1 y at scale.
+    """Build a jitted distributed solver ``(params, x, y, x_test) ->
+    (mean, alpha, iters, resnorm)``.
 
-    x, y row-sharded over ``axis``; x_test replicated. Returns
-    (mean (replicated), alpha (sharded), iters, resnorm).
+    Hyperparameters ``params`` are a traced argument, so one compiled program
+    serves a whole hyperparameter search; repeat calls hit the jit cache
+    (unlike re-closing over params each call, which re-traces every time).
     """
-    k_nw, p_nw, white_var = _k.split_white(kernel, params)
-    diag_shift = noise_variance + (white_var if white_var is not None else 0.0)
-    if block_fn is None:
-        def block_fn(xl, xb, vb):
-            return _k.gram(k_nw, p_nw, xl, xb, method=dist_method) @ vb
 
-    def fn(x_local, y_local, x_test_rep):
+    def fn(params, x_local, y_local, x_test_rep):
+        k_nw, p_nw, white_var = _k.split_white(kernel, params)
+        diag_shift = noise_variance + (white_var if white_var is not None else 0.0)
+        if block_fn is None:
+            def _block(xl, xb, vb):
+                return _k.gram(k_nw, p_nw, xl, xb, method=dist_method) @ vb
+        else:
+            _block = block_fn
+
         p = lax.axis_size(axis)
         perm = [(i, (i + 1) % p) for i in range(p)]
 
         def matvec(v_local):
             def body(step, carry):
                 xb, vb, acc = carry
-                acc = acc + block_fn(x_local, xb, vb)
+                acc = acc + _block(x_local, xb, vb)
                 xb = lax.ppermute(xb, axis, perm)
                 vb = lax.ppermute(vb, axis, perm)
                 return xb, vb, acc
@@ -79,11 +80,46 @@ def distributed_posterior_mean_cg(
         mean = lax.psum(mean_local, axis)
         return mean, state.x, state.iters, state.resnorm
 
-    mean, alpha, iters, resnorm = jax.shard_map(
+    sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
-    )(x, y, x_test)
-    return mean, alpha, iters, resnorm
+    )
+    return jax.jit(sharded)
+
+
+def distributed_posterior_mean_cg(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    noise_variance: float = 5e-4,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+    dist_method: str = "dot",
+    block_fn=None,
+):
+    """One-shot convenience over :func:`make_posterior_mean_cg`.
+
+    x, y row-sharded over ``axis``; x_test replicated. Returns
+    (mean (replicated), alpha (sharded), iters, resnorm). For repeated solves
+    (benchmarks, hyperparameter sweeps) build the solver once with
+    :func:`make_posterior_mean_cg` to reuse the compiled program.
+    """
+    solver = make_posterior_mean_cg(
+        kernel,
+        mesh=mesh,
+        axis=axis,
+        noise_variance=noise_variance,
+        tol=tol,
+        max_iters=max_iters,
+        dist_method=dist_method,
+        block_fn=block_fn,
+    )
+    return solver(params, x, y, x_test)

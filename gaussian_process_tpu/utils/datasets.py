@@ -55,6 +55,35 @@ def moons_binary(*, noise: float = 0.3, test_size: float = 0.4, seed: int = 0):
     return train_test_split(X, y, test_size=test_size, random_state=42)
 
 
+def binary_dataset(kind: str = "moons", *, test_size: float = 0.4, seed: int = 0):
+    """The reference's three binary datasets: moons / circles / linsep.
+
+    [ref: GP_binary_classification.py:13-32 (make_moons(noise=.3),
+    make_circles(noise=.2, factor=.5), linearly-separable via
+    make_classification + uniform jitter); labels mapped to {-1,+1},
+    standardised, 60/40 split]
+    """
+    from sklearn.datasets import make_circles, make_classification, make_moons
+    from sklearn.model_selection import train_test_split
+    from sklearn.preprocessing import StandardScaler
+
+    if kind == "moons":
+        X, y = make_moons(noise=0.3, random_state=seed)
+    elif kind == "circles":
+        X, y = make_circles(noise=0.2, factor=0.5, random_state=1)
+    elif kind == "linsep":
+        X, y = make_classification(
+            n_features=2, n_redundant=0, n_informative=2,
+            random_state=1, n_clusters_per_class=1,
+        )
+        X += 2 * np.random.default_rng(2).uniform(size=X.shape)
+    else:
+        raise ValueError(f"unknown binary dataset {kind!r}")
+    y = np.where(y == 0, -1, 1)
+    X = StandardScaler().fit_transform(X)
+    return train_test_split(X, y, test_size=test_size, random_state=42)
+
+
 def blobs_multiclass(
     *, centers: int = 3, n_samples: int = 100, test_size: float = 0.4, seed: int = 7
 ):
