@@ -89,7 +89,7 @@ def laplace_fit_multiclass(
         Ls = jax.vmap(per_class_factor)(K, sw)  # (C, n, n)
 
         b = _w_apply(pi, f) + y - pi  # b = W f + grad  [Alg 3.3 line 7]
-        Kb = jnp.einsum("cij,cj->ci", K, b)
+        Kb = jnp.einsum("cij,cj->ci", K, b, precision=lax.Precision.HIGHEST)
         c_vec = jax.vmap(e_apply)(Ls, sw, Kb)  # c = E K b
 
         # M = chol(sum_c E_c): materialise sum of E_c once per iteration.
@@ -102,7 +102,7 @@ def laplace_fit_multiclass(
         rc = jnp.sum(c_vec, axis=0)  # R^T c  (R = stacked identities)
         m_sol = _chol.cholesky_solve(M, rc)
         a = b - c_vec + jax.vmap(e_apply)(Ls, sw, jnp.broadcast_to(m_sol, (C, n)))
-        f_new = jnp.einsum("cij,cj->ci", K, a)
+        f_new = jnp.einsum("cij,cj->ci", K, a, precision=lax.Precision.HIGHEST)
         return f_new, a, Ls, pi
 
     def cond(state):
@@ -154,7 +154,9 @@ def laplace_predict_multiclass(
     points and classes; here one einsum over all of them]
     ``K_s``: (C, n, m) per-class cross-covariances.
     """
-    mean = jnp.einsum("cnm,cn->cm", K_s, y - state.pi)
+    mean = jnp.einsum(
+        "cnm,cn->cm", K_s, y - state.pi, precision=lax.Precision.HIGHEST
+    )
     prob = jax.nn.softmax(mean, axis=0)
     return MulticlassPrediction(mean=mean, prob=prob, label=jnp.argmax(mean, axis=0))
 

@@ -140,7 +140,12 @@ def sample_prior(
     res = _chol.safe_cholesky(K, initial_jitter=jitter)
     n = x.shape[0]
     eps = jax.random.normal(key, (n, num_functions), dtype=K.dtype)
-    return mean + jnp.dot(res.factor, eps, preferred_element_type=K.dtype)
+    return mean + jnp.dot(
+        res.factor,
+        eps,
+        preferred_element_type=K.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def sample_posterior(
@@ -160,12 +165,22 @@ def sample_posterior(
     jitter is the reference's constant].
     """
     K_ss = _k.gram(kernel, params, x_test, method=dist_method)
-    cov = K_ss - jnp.dot(post.v.T, post.v, preferred_element_type=K_ss.dtype)
+    # HIGHEST: bf16-default v^T v error would swamp the 1e-6 sampling jitter
+    # and force huge jitter escalation in the cov factorization.
+    cov = K_ss - jnp.dot(
+        post.v.T,
+        post.v,
+        preferred_element_type=K_ss.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     res = _chol.safe_cholesky(cov, initial_jitter=jitter)
     n = x_test.shape[0]
     eps = jax.random.normal(key, (n, num_functions), dtype=K_ss.dtype)
     return post.mean[:, None] + jnp.dot(
-        res.factor, eps, preferred_element_type=K_ss.dtype
+        res.factor,
+        eps,
+        preferred_element_type=K_ss.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

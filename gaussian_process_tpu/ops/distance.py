@@ -49,7 +49,14 @@ def sqdist(a: jnp.ndarray, b: jnp.ndarray, *, method: str = "dot") -> jnp.ndarra
     b = b - center
     a2 = jnp.sum(a * a, axis=-1)[:, None]
     b2 = jnp.sum(b * b, axis=-1)[None, :]
-    cross = jnp.dot(a, b.T, preferred_element_type=a.dtype)
+    # precision=HIGHEST: TPU f32 matmuls default to bfloat16 passes, whose
+    # ~8e-3 relative error in the cross term is larger than the GP noise
+    # jitter (5e-4) and corrupts K outright (measured 0.27 abs error in an
+    # RBF gram at n=4096). The d-contraction is O(n*m*d) flops — negligible
+    # next to the O(n^3) factorization — so full f32 costs nothing here.
+    cross = jnp.dot(
+        a, b.T, preferred_element_type=a.dtype, precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 

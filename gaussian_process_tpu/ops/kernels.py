@@ -137,7 +137,11 @@ class Linear(Kernel):
         c = params["offset"]
         a = cache.x1 - c
         b = cache.x2 - c
-        return jnp.dot(a, b.T, preferred_element_type=a.dtype)
+        # full-f32 MXU passes: bf16-default matmul error (~8e-3 rel) exceeds
+        # the GP jitter scale (see ops/distance.py).
+        return jnp.dot(
+            a, b.T, preferred_element_type=a.dtype, precision=jax.lax.Precision.HIGHEST
+        )
 
     def _eval_diag(self, params, x):
         a = _dist._as_2d(x) - params["offset"]

@@ -76,11 +76,14 @@ def _tile_sqdist(a, b):
     VPU rank-1 corrections, computed in f32."""
     a2 = jnp.sum(a * a, axis=1)[:, None]
     b2 = jnp.sum(b * b, axis=1)[None, :]
+    # HIGHEST: Mosaic also lowers f32 dots to bf16 MXU passes by default;
+    # the cross term needs full f32 (see ops/distance.py).
     cross = lax.dot_general(
         a,
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
@@ -200,7 +203,12 @@ def gram_matvec(
             rows = i * tile_m + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
             cols = j * tile_n + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
             tile = tile + jnp.where(rows == cols, params_ref[white], 0.0)
-        part = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+        part = jnp.dot(
+            tile,
+            v_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
 
         @pl.when(j == 0)
         def _():

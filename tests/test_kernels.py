@@ -137,3 +137,49 @@ class TestDistance:
         a = _x(rng, 10, 3)
         d = np.asarray(ops.absdist(a, a))
         np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-6)
+
+
+class TestMatmulPrecision:
+    """TPU f32 matmuls default to bfloat16 MXU passes whose ~8e-3 relative
+    error exceeds the GP jitter scale and corrupts kernel matrices outright
+    (measured 0.27 abs error in an RBF gram at n=4096 on TPU v5e). CPU runs
+    at full precision either way, so correctness tests cannot catch a
+    regression — these tests pin precision=HIGHEST in the traced program."""
+
+    @staticmethod
+    def _dot_precisions(fn, *args):
+        import jax
+        from jax import lax
+
+        precisions = []
+
+        def walk(jaxpr):
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "dot_general":
+                    precisions.append(eqn.params.get("precision"))
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(v.jaxpr)
+        walk(jax.make_jaxpr(fn)(*args).jaxpr)
+        return precisions
+
+    def test_sqdist_dot_uses_highest(self, rng):
+        from jax import lax
+
+        a = _x(rng, 8, 3)
+        precs = self._dot_precisions(lambda a: ops.sqdist(a, a), a)
+        assert precs, "expected a dot_general in sqdist(method='dot')"
+        assert all(
+            p == (lax.Precision.HIGHEST, lax.Precision.HIGHEST) for p in precs
+        ), precs
+
+    def test_linear_gram_uses_highest(self, rng):
+        from jax import lax
+
+        a = _x(rng, 8, 3)
+        k = ops.Linear()
+        p = k.init_params()
+        precs = self._dot_precisions(lambda a: ops.gram(k, p, a), a)
+        assert precs and all(
+            pr == (lax.Precision.HIGHEST, lax.Precision.HIGHEST) for pr in precs
+        ), precs
