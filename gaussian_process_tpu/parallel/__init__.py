@@ -18,6 +18,11 @@ from gaussian_process_tpu.parallel.restarts import (
     make_sharded_gradient_restarts,
     best_restart,
 )
+from gaussian_process_tpu.parallel.recovery import (
+    run_with_redispatch,
+    RedispatchResult,
+)
+from gaussian_process_tpu.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -33,4 +38,7 @@ __all__ = [
     "sharded_gradient_restarts",
     "make_sharded_gradient_restarts",
     "best_restart",
+    "run_with_redispatch",
+    "RedispatchResult",
+    "multihost",
 ]
