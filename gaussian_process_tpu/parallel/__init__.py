@@ -11,6 +11,12 @@ from gaussian_process_tpu.parallel.cg import (
     distributed_posterior_mean_cg,
     make_posterior_mean_cg,
 )
+from gaussian_process_tpu.parallel.cholesky import (
+    distributed_cholesky,
+    distributed_cholesky_solve,
+    make_distributed_posterior,
+    distributed_posterior,
+)
 from gaussian_process_tpu.parallel.restarts import (
     sharded_lml,
     make_sharded_lml,
@@ -33,6 +39,10 @@ __all__ = [
     "ring_matvec",
     "distributed_posterior_mean_cg",
     "make_posterior_mean_cg",
+    "distributed_cholesky",
+    "distributed_cholesky_solve",
+    "make_distributed_posterior",
+    "distributed_posterior",
     "sharded_lml",
     "make_sharded_lml",
     "sharded_gradient_restarts",

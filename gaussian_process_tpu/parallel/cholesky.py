@@ -1,0 +1,280 @@
+"""Distributed block-panel Cholesky and triangular solves over a device mesh.
+
+The exact-factorization half of SURVEY.md C14 ("distributed Cholesky/CG
+solves with psum/all-gather collectives over ICI"): the reference factorizes
+the full kernel matrix on one host (``np.linalg.cholesky``
+[ref: GP_regression.py:138]); here K lives row-sharded across the ``data``
+mesh axis (one block-row per device, the C13 layout of
+:mod:`parallel.kernel_blocks`) and is factorized in place by a right-looking
+block-panel algorithm:
+
+    for k in 0..p-1:                       # p = mesh axis size, m = n/p
+      1. broadcast the diagonal block A[k,k]          (psum of masked block)
+      2. L_kk = chol(A[k,k])      — replicated O(m^3), cheap vs the update
+      3. L_ik = A[i,k] L_kk^-T    — every device TRSMs only ITS block (i=me)
+      4. all_gather the factored panel column L[:,k]  (n*m over ICI)
+      5. A[i,j] -= L_ik L_jk^T for the trailing columns (local MXU matmul)
+
+Per-device compute is O(n^3/p) (the trailing update dominates), per-device
+communication O(n^2) — the all-gathered panels — which rides ICI. The serial
+panel chain is the known hard part (SURVEY.md §7 "hard parts"); with p panels
+of width n/p the chain is short (p steps) and each step's collective overlaps
+a large MXU matmul, which is why the panel width is tied to the shard size
+rather than a small cache-friendly block as on CPUs.
+
+Forward/backward block substitution follow the same pattern: per step one
+small triangular solve on the owning device plus an m-row psum broadcast.
+
+Everything runs inside ``shard_map`` with static shapes; the panel index is
+the only loop carry, so XLA compiles one program regardless of n.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussian_process_tpu.ops import kernels as _k
+from gaussian_process_tpu.parallel.kernel_blocks import _local_block_row
+
+def _i32(v):
+    # mesh/loop indices arrive as mixed int32/int64 under x64 mode;
+    # dynamic_slice requires uniform index dtypes
+    return jnp.asarray(v, jnp.int32)
+
+
+def _mm(a, b):
+    # Factorization-quality matmuls must not fall into bf16 MXU passes: the
+    # trailing-update error would compound across panels (same failure mode
+    # the single-chip path hit — see gp/regression.py sample_posterior note).
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
+def _chol_panels_local(A_local: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """SPMD body: row-sharded A (m, n) -> row-sharded lower factor L (m, n).
+
+    Call inside ``shard_map`` over ``axis``; composes with other SPMD stages
+    (kernel build, solves) into one XLA program.
+    """
+    m, n = A_local.shape
+    p = lax.axis_size(axis)
+    me = lax.axis_index(axis)
+    zero = jnp.zeros((), A_local.dtype)
+
+    def step(k, A):
+        col0 = k * m
+        my_blk = lax.dynamic_slice(A, (0, col0), (m, m))  # block (me, k)
+        diag = lax.psum(jnp.where(me == k, my_blk, zero), axis)
+        Lkk = lax.linalg.cholesky(diag)
+        # my panel block: X @ Lkk^T = my_blk  =>  X = A[me,k] Lkk^-T
+        Xp = lax.linalg.triangular_solve(
+            Lkk, my_blk, left_side=False, lower=True, transpose_a=True
+        )
+        Lblk = jnp.where(me == k, Lkk, jnp.where(me > k, Xp, zero))
+        A = lax.dynamic_update_slice(A, Lblk, (0, col0))
+        panel = lax.all_gather(Lblk, axis, tiled=True)  # (n, m) column panel
+        U = _mm(Lblk, panel.T)  # (m, n) rank-m trailing update
+        cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        A = A - jnp.where(cols >= col0 + m, U, zero)
+        return A
+
+    L = lax.fori_loop(0, p, step, A_local)
+    # zero the strictly-upper triangle (trailing updates scribble on the
+    # upper blocks of finished rows; those entries are never read above)
+    rows_g = me * m + lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return jnp.where(cols <= rows_g, L, zero)
+
+
+def _forward_solve_local(L_local: jnp.ndarray, b_local: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """SPMD body: solve L z = b by block forward substitution.
+
+    L row-sharded (m, n); b row-sharded (m, t). Returns z REPLICATED (n, t)
+    (each step's solution block is psum-broadcast, so every device ends with
+    the full right-hand side solved).
+    """
+    m, n = L_local.shape
+    t = b_local.shape[1]
+    p = lax.axis_size(axis)
+    me = lax.axis_index(axis)
+    zero = jnp.zeros((), L_local.dtype)
+
+    def step(k, carry):
+        z, s = carry  # s (m, t): sum_{j<k} L[me, j] @ z_j  — my rows' partials
+        col0 = k * m
+        blk = lax.dynamic_slice(L_local, (0, col0), (m, m))  # L[me, k]
+        zk = lax.linalg.triangular_solve(
+            blk, b_local - s, left_side=True, lower=True
+        )  # meaningful on me == k where blk = L_kk
+        zk = lax.psum(jnp.where(me == k, zk, zero), axis)
+        s = s + _mm(blk, zk)
+        z = lax.dynamic_update_slice(z, zk, (_i32(col0), _i32(0)))
+        return z, s
+
+    z0 = jnp.zeros((n, t), L_local.dtype)
+    s0 = jnp.zeros((m, t), L_local.dtype)
+    z, _ = lax.fori_loop(0, p, step, (z0, s0))
+    return z
+
+
+def _backward_solve_local(L_local: jnp.ndarray, z: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """SPMD body: solve L^T x = z by block backward substitution.
+
+    L row-sharded (m, n) — so L^T's block-row k is scattered as the k-th
+    column blocks L[j, k] across devices j, and the off-diagonal terms
+    sum_{j>k} L[j,k]^T x_j reduce naturally with one psum per step.
+    z, x replicated (n, t).
+    """
+    m, n = L_local.shape
+    t = z.shape[1]
+    p = lax.axis_size(axis)
+    me = lax.axis_index(axis)
+    zero = jnp.zeros((), L_local.dtype)
+
+    def step(i, x):
+        k = p - 1 - i
+        col0 = k * m
+        blk = lax.dynamic_slice(L_local, (0, col0), (m, m))  # L[me, k]
+        x_me = lax.dynamic_slice(x, (_i32(me * m), _i32(0)), (m, t))  # my solved block
+        contrib = _mm(blk.T, x_me)
+        s = lax.psum(jnp.where(me > k, contrib, zero), axis)
+        zk = lax.dynamic_slice(z, (_i32(col0), _i32(0)), (m, t))
+        xk = lax.linalg.triangular_solve(
+            blk, zk - s, left_side=True, lower=True, transpose_a=True
+        )  # meaningful on me == k
+        xk = lax.psum(jnp.where(me == k, xk, zero), axis)
+        return lax.dynamic_update_slice(x, xk, (_i32(col0), _i32(0)))
+
+    x0 = jnp.zeros((n, t), L_local.dtype)
+    return lax.fori_loop(0, p, step, x0)
+
+
+def distributed_cholesky(
+    K: jnp.ndarray, *, mesh: Mesh, axis: str = "data"
+) -> jnp.ndarray:
+    """Lower Cholesky factor of a row-sharded symmetric PSD matrix.
+
+    K's rows must be sharded over ``axis`` (e.g. the output of
+    :func:`kernel_blocks.sharded_gram`); the factor comes back with the same
+    sharding. The caller owns conditioning (add noise/jitter to the diagonal
+    first — the reference's s = 5e-4 [ref: GP_regression.py:120] keeps every
+    workload here comfortably PSD).
+    """
+    fn = lambda A: _chol_panels_local(A, axis)
+    return jax.shard_map(fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis))(K)
+
+
+def distributed_cholesky_solve(
+    L: jnp.ndarray, b: jnp.ndarray, *, mesh: Mesh, axis: str = "data"
+) -> jnp.ndarray:
+    """Solve (L L^T) x = b with L row-sharded and b row-sharded; x replicated.
+
+    The distributed ``alpha = L^T \\ (L \\ y)`` of R&W Alg. 2.1
+    [ref: GP_regression.py:139-140].
+    """
+    vec = b.ndim == 1
+
+    def fn(L_local, b_local):
+        if vec:
+            b_local = b_local[:, None]
+        z = _forward_solve_local(L_local, b_local, axis)
+        x = _backward_solve_local(L_local, z, axis)
+        return x[:, 0] if vec else x
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(), check_vma=False
+    )(L, b)
+
+
+def make_distributed_posterior(
+    kernel: _k.Kernel,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    noise_variance: float = 5e-4,
+    dist_method: str = "dot",
+):
+    """Build a jitted fully-distributed exact posterior (R&W Alg. 2.1).
+
+    ``(params, x_local, y_local, x_test) -> (mean, var, lml, alpha)`` with
+    x, y row-sharded over ``axis`` and x_test replicated; mean/var/lml come
+    back replicated, alpha row-sharded. One XLA program: sharded kernel
+    block-rows (C13) -> panel Cholesky -> block solves -> predictive
+    mean/variance and the corrected LML [ref: tune_hyperparms_regression.py:292-313].
+
+    n_train must divide the mesh axis size (see mesh.pad_to_multiple for the
+    padding helper). Unlike the single-chip path there is no jitter
+    escalation loop — ``noise_variance`` is the conditioner.
+    """
+
+    def fn(params, x_local, y_local, x_test):
+        m = x_local.shape[0]
+        me = lax.axis_index(axis)
+        k_nw, p_nw, white_var = _k.split_white(kernel, params)
+        shift = noise_variance + (white_var if white_var is not None else 0.0)
+
+        x_full = lax.all_gather(x_local, axis, tiled=True)
+        A_local = _local_block_row(
+            k_nw, p_nw, x_local, x_full, me * m, shift, dist_method
+        )
+        L_local = _chol_panels_local(A_local, axis)
+
+        z = _forward_solve_local(L_local, y_local[:, None], axis)  # (n, 1)
+        alpha = _backward_solve_local(L_local, z, axis)[:, 0]  # (n,) replicated
+        alpha_local = lax.dynamic_slice(alpha, (_i32(me * m),), (m,))
+
+        # predictive mean: mu* = K_s^T alpha, reduced over shards
+        Ks_local = _k.gram(kernel, params, x_test, x_local, method=dist_method)
+        mean = lax.psum(_mm(Ks_local, alpha_local[:, None])[:, 0], axis)
+
+        # predictive variance: v = L \ K_s (block forward solve, t RHS)
+        B_local = _k.gram(kernel, params, x_local, x_test, method=dist_method)
+        v = _forward_solve_local(L_local, B_local, axis)  # (n, t) replicated
+        kss = _k.gram_diag(kernel, params, x_test)
+        var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
+
+        # LML: -1/2 y^T alpha - sum log diag L - n/2 log 2pi
+        diag_blk = lax.dynamic_slice(L_local, (_i32(0), _i32(me * m)), (m, m))
+        logdet_half = lax.psum(jnp.sum(jnp.log(jnp.diagonal(diag_blk))), axis)
+        yta = lax.psum(jnp.dot(y_local, alpha_local), axis)
+        n = m * lax.axis_size(axis)
+        lml = -0.5 * yta - logdet_half - 0.5 * n * math.log(2.0 * math.pi)
+
+        return mean, var, lml, alpha_local
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def distributed_posterior(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    noise_variance: float = 5e-4,
+    dist_method: str = "dot",
+):
+    """One-shot convenience over :func:`make_distributed_posterior`."""
+    solver = make_distributed_posterior(
+        kernel,
+        mesh=mesh,
+        axis=axis,
+        noise_variance=noise_variance,
+        dist_method=dist_method,
+    )
+    return solver(params, x, y, x_test)

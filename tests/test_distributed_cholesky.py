@@ -1,0 +1,96 @@
+"""Distributed block-panel Cholesky vs single-chip oracles (SURVEY.md C14,
+test strategy item 2: "distributed block Cholesky vs single-chip on small n")
+on the emulated 8-device CPU mesh.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_process_tpu import gp, ops, parallel
+
+NOISE = 5e-4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(data=4, restart=2)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return jnp.asarray(a @ a.T + n * np.eye(n))
+
+
+def _data(n=64, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-5, 5, (n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    return x, y
+
+
+class TestDistributedCholesky:
+    def test_matches_dense_factor(self, mesh):
+        K = _spd(64)
+        L = parallel.distributed_cholesky(K, mesh=mesh)
+        L_ref = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(np.asarray(L), L_ref, rtol=1e-10, atol=1e-12)
+        assert L.sharding.spec[0] == "data"
+
+    def test_mesh_size_invariance(self):
+        K = _spd(32, seed=1)
+        m1 = parallel.make_mesh(data=1, restart=1, devices=jax.devices()[:1])
+        m4 = parallel.make_mesh(data=4, restart=1, devices=jax.devices()[:4])
+        L1 = parallel.distributed_cholesky(K, mesh=m1)
+        L4 = parallel.distributed_cholesky(K, mesh=m4)
+        np.testing.assert_allclose(np.asarray(L1), np.asarray(L4), rtol=1e-11, atol=1e-13)
+
+    def test_solve_vector_and_matrix_rhs(self, mesh):
+        K = _spd(48, seed=2)
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal(48))
+        B = jnp.asarray(rng.standard_normal((48, 5)))
+        L = parallel.distributed_cholesky(K, mesh=mesh)
+        x = parallel.distributed_cholesky_solve(L, b, mesh=mesh)
+        X = parallel.distributed_cholesky_solve(L, B, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(K @ x), np.asarray(b), rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(K @ X), np.asarray(B), rtol=1e-9, atol=1e-10)
+
+
+class TestDistributedPosterior:
+    def test_matches_single_chip_posterior(self, mesh):
+        x, y = _data(n=64)
+        x_test = jnp.asarray(np.random.default_rng(4).uniform(-5, 5, (16, 3)))
+        k = ops.RBF()
+        p = k.init_params()
+        mean, var, lml, alpha_sh = parallel.distributed_posterior(
+            k, p, x, y, x_test, mesh=mesh, noise_variance=NOISE
+        )
+        post = gp.posterior(k, p, x, y, x_test, noise_variance=NOISE)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(post.mean), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(post.var), rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(float(lml), float(post.lml), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(alpha_sh), np.asarray(post.alpha), rtol=1e-8, atol=1e-10
+        )
+        assert alpha_sh.sharding.spec[0] == "data"
+
+    def test_composite_kernel_with_white(self, mesh):
+        """White-noise kernels split into the diagonal shift exactly as in
+        the single-chip path (C4's kernel_4 white term
+        [ref: CO2_example.py:49-66])."""
+        x, y = _data(n=32, d=1, seed=6)
+        x_test = jnp.asarray(np.linspace(-5, 5, 8).reshape(-1, 1))
+        k = ops.RBF() + ops.White()
+        p = (ops.RBF().init_params(), {"amplitude": jnp.asarray(0.2)})
+        mean, var, lml, _ = parallel.distributed_posterior(
+            k, p, x, y, x_test, mesh=mesh, noise_variance=NOISE
+        )
+        post = gp.posterior(k, p, x, y, x_test, noise_variance=NOISE)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(post.mean), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(post.var), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(lml), float(post.lml), rtol=1e-9)
