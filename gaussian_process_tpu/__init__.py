@@ -31,5 +31,6 @@ from gaussian_process_tpu import ops  # noqa: F401
 from gaussian_process_tpu import linalg  # noqa: F401
 from gaussian_process_tpu import gp  # noqa: F401
 from gaussian_process_tpu import opt  # noqa: F401
+from gaussian_process_tpu import models  # noqa: F401
 from gaussian_process_tpu import parallel  # noqa: F401
 from gaussian_process_tpu import utils  # noqa: F401

@@ -66,6 +66,7 @@ def laplace_fit(
     ``f_init`` warm-starts the iteration (checkpoint/resume of a Newton run;
     default zeros, R&W's recommended start).
     """
+    y = jnp.asarray(y, K.dtype)  # integer {-1,+1} labels are fine to pass
     n = y.shape[0]
     if tol is None:
         # float32's Newton error floor sits near sqrt(eps)*||f||; float64

@@ -4,6 +4,7 @@ from gaussian_process_tpu.ops.distance import sqdist, absdist
 from gaussian_process_tpu.ops.kernels import (
     RBF,
     Linear,
+    Matern,
     Periodic,
     DecayedPeriodic,
     RationalQuadratic,
@@ -23,6 +24,7 @@ __all__ = [
     "absdist",
     "RBF",
     "Linear",
+    "Matern",
     "Periodic",
     "DecayedPeriodic",
     "RationalQuadratic",

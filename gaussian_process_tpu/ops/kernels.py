@@ -222,6 +222,47 @@ class RationalQuadratic(Kernel):
 
 
 @dataclasses.dataclass(frozen=True)
+class Matern(Kernel):
+    """Matérn covariance at nu in {1/2, 3/2, 5/2} (the closed-form orders):
+
+        nu=1/2: sigma^2 exp(-d/l)                      (Ornstein-Uhlenbeck)
+        nu=3/2: sigma^2 (1 + sqrt3 d/l) exp(-sqrt3 d/l)
+        nu=5/2: sigma^2 (1 + sqrt5 d/l + 5 d^2/(3 l^2)) exp(-sqrt5 d/l)
+
+    Beyond-reference breadth: the reference ships only RBF/linear/periodic
+    plus the CO2 composite [ref: GP_regression.py:8-50, CO2_example.py:9-94];
+    Matérn is the standard rough-process complement. Stationary (distance-only),
+    so it runs on the Pallas tile path like the others.
+    """
+
+    nu: float = 2.5  # static: selects the closed form at trace time
+
+    def __post_init__(self):
+        if self.nu not in (0.5, 1.5, 2.5):
+            raise ValueError("Matern supports nu in {0.5, 1.5, 2.5}")
+
+    def init_params(self) -> Params:
+        return {"sigma": jnp.asarray(1.0), "lengthscale": jnp.asarray(1.0)}
+
+    def _eval(self, params, cache, same):
+        sig, ell = params["sigma"], params["lengthscale"]
+        r = cache.l2 / ell
+        if self.nu == 0.5:
+            body = jnp.exp(-r)
+        elif self.nu == 1.5:
+            s = jnp.sqrt(3.0) * r
+            body = (1.0 + s) * jnp.exp(-s)
+        else:
+            s = jnp.sqrt(5.0) * r
+            body = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+        return (sig**2) * body
+
+    def _eval_diag(self, params, x):
+        n = jnp.shape(x)[0]
+        return jnp.full((n,), params["sigma"] ** 2, dtype=jnp.result_type(x))
+
+
+@dataclasses.dataclass(frozen=True)
 class White(Kernel):
     """Independent noise a^2 * delta_ij — contributes only to same-set grams.
 
@@ -394,7 +435,7 @@ def is_stationary(kernel: Kernel) -> bool:
     if isinstance(kernel, Scaled):
         return is_stationary(kernel.base)
     return isinstance(
-        kernel, (RBF, Periodic, DecayedPeriodic, RationalQuadratic, White)
+        kernel, (RBF, Matern, Periodic, DecayedPeriodic, RationalQuadratic, White)
     )
 
 
@@ -404,7 +445,7 @@ def needs_l2(kernel: Kernel) -> bool:
         return any(needs_l2(c) for c in kernel.children)
     if isinstance(kernel, Scaled):
         return needs_l2(kernel.base)
-    return isinstance(kernel, (Periodic, DecayedPeriodic))
+    return isinstance(kernel, (Matern, Periodic, DecayedPeriodic))
 
 
 def split_white(kernel: Kernel, params: Params):

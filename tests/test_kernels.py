@@ -54,6 +54,44 @@ class TestLinear:
         np.testing.assert_allclose(got, oracles.linear(a, b, 1.3), rtol=1e-10)
 
 
+class TestMatern:
+    @staticmethod
+    def _oracle(a, b, nu, sigma, ell):
+        d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+        r = d / ell
+        if nu == 0.5:
+            body = np.exp(-r)
+        elif nu == 1.5:
+            s = np.sqrt(3.0) * r
+            body = (1.0 + s) * np.exp(-s)
+        else:
+            s = np.sqrt(5.0) * r
+            body = (1.0 + s + s * s / 3.0) * np.exp(-s)
+        return sigma**2 * body
+
+    @pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+    def test_matches_oracle(self, rng, nu):
+        a, b = _x(rng, 13, 3), _x(rng, 7, 3)
+        p = {"sigma": jnp.asarray(1.4), "lengthscale": jnp.asarray(0.8)}
+        got = ops.gram(ops.Matern(nu=nu), p, a, b)
+        np.testing.assert_allclose(got, self._oracle(a, b, nu, 1.4, 0.8), rtol=1e-9)
+
+    def test_diag_and_psd(self, rng):
+        a = _x(rng, 21, 2)
+        k = ops.Matern(nu=1.5)
+        p = k.init_params()
+        d = ops.gram_diag(k, p, a)
+        np.testing.assert_allclose(d, np.ones(21))
+        K = np.asarray(ops.gram(k, p, a))
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        w = np.linalg.eigvalsh(K + 1e-10 * np.eye(21))
+        assert (w > -1e-8).all()
+
+    def test_invalid_nu_rejected(self):
+        with pytest.raises(ValueError):
+            ops.Matern(nu=2.0)
+
+
 class TestPeriodic:
     def test_matches_oracle(self, rng):
         a, b = _x(rng, 12, 1), _x(rng, 12, 1)

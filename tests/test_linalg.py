@@ -45,6 +45,66 @@ class TestSafeCholesky:
         f = jax.jit(lambda m: linalg.safe_cholesky(m).factor)
         np.testing.assert_allclose(f(jnp.asarray(K)), np.linalg.cholesky(K), rtol=1e-8, atol=1e-10)
 
+    def test_grad_matches_plain_cholesky(self, rng):
+        # On a PSD input (no retry) the custom_vjp pullback must equal the
+        # gradient through a plain differentiable factorization.
+        K = _spd(rng, 12)
+
+        def via_safe(M):
+            return jnp.sum(jnp.log(jnp.diagonal(linalg.safe_cholesky(M).factor)))
+
+        def via_plain(M):
+            return jnp.sum(jnp.log(jnp.diagonal(jax.lax.linalg.cholesky(M))))
+
+        g_safe = jax.grad(via_safe)(jnp.asarray(K))
+        g_plain = jax.grad(via_plain)(jnp.asarray(K))
+        np.testing.assert_allclose(g_safe, g_plain, rtol=1e-8, atol=1e-10)
+
+    def test_grad_with_initial_jitter_under_jit(self, rng):
+        K = _spd(rng, 9)
+
+        def loss(M):
+            res = linalg.safe_cholesky(M, initial_jitter=0.1)
+            return jnp.sum(res.factor**2)
+
+        def loss_plain(M):
+            return jnp.sum(jax.lax.linalg.cholesky(M + 0.1 * jnp.eye(9)) ** 2)
+
+        g = jax.jit(jax.grad(loss))(jnp.asarray(K))
+        np.testing.assert_allclose(g, jax.grad(loss_plain)(jnp.asarray(K)), rtol=1e-8)
+
+    def test_vmap_grad_mixed_ok_and_retry(self, rng):
+        # Batch of two: one SPD (no retry), one rank-deficient (retry fires).
+        # The retried element must still get finite gradients and must not
+        # poison the clean element's gradient with NaNs.
+        K_good = _spd(rng, 10)
+        v = rng.standard_normal((10, 2))
+        K_bad = v @ v.T  # rank 2: plain chol fails, jitter rescues
+        batch = jnp.stack([jnp.asarray(K_good), jnp.asarray(K_bad)])
+
+        def loss(M):
+            return jnp.sum(linalg.safe_cholesky(M).factor ** 2)
+
+        vals = jax.vmap(loss)(batch)
+        grads = jax.vmap(jax.grad(loss))(batch)
+        assert np.isfinite(np.asarray(vals)).all()
+        assert np.isfinite(np.asarray(grads)).all()
+        g_good_plain = jax.grad(
+            lambda M: jnp.sum(jax.lax.linalg.cholesky(M) ** 2)
+        )(jnp.asarray(K_good))
+        np.testing.assert_allclose(grads[0], g_good_plain, rtol=1e-8, atol=1e-10)
+
+    def test_grad_after_retry_is_finite(self, rng):
+        v = rng.standard_normal((8, 2))
+        K = jnp.asarray(v @ v.T)
+
+        def loss(M):
+            res = linalg.safe_cholesky(M)
+            return jnp.sum(res.factor**2)
+
+        g = jax.grad(loss)(K)
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestTriSolve:
     def test_forward_backward(self, rng):

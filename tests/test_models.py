@@ -1,0 +1,78 @@
+"""Estimator-facade tests: the sklearn-style classes must agree with the
+functional core they wrap and hit the reference's quality bars
+(accuracy metrics [ref: GP_binary_classification.py:241,
+GP_multi_classification.py:253])."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_tpu import gp, ops
+from gaussian_process_tpu.models import (
+    GPBinaryClassifier,
+    GPMulticlassClassifier,
+    GPRegressor,
+)
+from gaussian_process_tpu.utils import datasets
+
+
+class TestGPRegressor:
+    def test_matches_functional_posterior(self, rng):
+        x = rng.uniform(-5, 5, (40, 2))
+        y = np.sin(x.sum(1))
+        xt = rng.uniform(-5, 5, (15, 2))
+        k = ops.RBF()
+        model = GPRegressor(k, noise_variance=5e-4).fit(x, y)
+        mean, std = model.predict(xt, return_std=True)
+        post = gp.posterior(k, k.init_params(), jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(xt), noise_variance=5e-4)
+        np.testing.assert_allclose(mean, post.mean, rtol=1e-10)
+        np.testing.assert_allclose(std, post.std, rtol=1e-10)
+        np.testing.assert_allclose(model.log_marginal_likelihood(), post.lml, rtol=1e-10)
+
+    def test_optimize_improves_lml(self, rng):
+        _, x, y, _ = datasets.sine_regression(30, 10, seed=3)
+        k = ops.RBF()
+        base = GPRegressor(k).fit(x, y)
+        tuned = GPRegressor(k).fit(x, y, optimize=True, max_iters=200)
+        assert float(tuned.lml_) >= float(base.lml_) - 1e-6
+
+    def test_sample_shapes(self, rng):
+        x = rng.uniform(-5, 5, (20, 1))
+        y = np.sin(x[:, 0])
+        xt = rng.uniform(-5, 5, (9, 1))
+        model = GPRegressor(ops.RBF()).fit(x, y)
+        s = model.sample(xt, jax.random.PRNGKey(0), num_functions=4)
+        assert s.shape == (9, 4)
+        assert np.isfinite(np.asarray(s)).all()
+
+
+class TestGPBinaryClassifier:
+    def test_moons_accuracy(self):
+        xtr, xte, ytr, yte = datasets.binary_dataset("moons", seed=0)
+        model = GPBinaryClassifier(ops.RBF()).fit(xtr, ytr)
+        acc = model.score(xte, yte)
+        assert acc >= 0.8  # the reference prints ~0.8-1.0 on moons
+        proba = np.asarray(model.predict_proba(xte))
+        assert ((proba >= 0) & (proba <= 1)).all()
+
+    def test_labels_are_pm1(self):
+        xtr, xte, ytr, _ = datasets.binary_dataset("moons", seed=1)
+        labels = np.asarray(GPBinaryClassifier(ops.RBF()).fit(xtr, ytr).predict(xte))
+        assert set(np.unique(labels)) <= {-1.0, 1.0}
+
+
+class TestGPMulticlassClassifier:
+    def test_blobs_accuracy(self):
+        xtr, xte, ytr, yte = datasets.blobs_multiclass(seed=0)
+        model = GPMulticlassClassifier(ops.RBF(), num_classes=3).fit(xtr, ytr)
+        acc = model.score(xte, yte)
+        assert acc >= 0.8
+        proba = np.asarray(model.predict_proba(xte))
+        np.testing.assert_allclose(proba.sum(axis=0), 1.0, rtol=1e-5)
+
+    def test_unfitted_raises(self):
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            GPMulticlassClassifier(ops.RBF(), 3).predict(np.zeros((2, 2)))

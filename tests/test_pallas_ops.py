@@ -35,6 +35,15 @@ class TestPallasGram:
         want = ops.gram(k, p, jnp.asarray(a, jnp.float32))
         np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-3)
 
+    @pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+    def test_matern_matches_xla(self, rng, nu):
+        a, b = _x(rng, 130, 2), _x(rng, 70, 2)
+        k = ops.Matern(nu=nu)
+        p = {"sigma": jnp.asarray(1.2), "lengthscale": jnp.asarray(0.9)}
+        got = pops.gram(k, p, a, b, interpret=True)
+        want = ops.gram(k, p, jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+
     def test_rejects_nonstationary(self, rng):
         a = _x(rng, 16, 2)
         with pytest.raises(ValueError):
