@@ -30,8 +30,17 @@ f, xr, yr, xq = datasets.sine_regression(30, 50, seed=1)
 reg = GPRegressor(ops.RBF()).fit(np.float32(xr), np.float32(yr), optimize=True, max_iters=100)
 print("binary acc:", acc_b, "multi acc:", acc_m, "tuned lml:", float(reg.lml_))
 
+xl = jnp.asarray(np.random.default_rng(1).uniform(-5,5,(300,3)), jnp.float32)
+yl = jnp.sin(0.9*xl.sum(axis=1))
+cgp = gp.posterior_cg(ops.RBF(), ops.RBF().init_params(), xl, yl, xl[:40], noise_variance=1e-2, tol=1e-6)
+exact = gp.posterior(ops.RBF(), ops.RBF().init_params(), xl, yl, xl[:40], noise_variance=1e-2)
+cg_mean_err = float(jnp.max(jnp.abs(cgp.mean - exact.mean)))
+cg_var_err = float(jnp.max(jnp.abs(cgp.var - exact.var)))
+print("posterior_cg vs chol:", cg_mean_err, cg_var_err, int(cgp.iters))
+assert cg_mean_err < 1e-2 and cg_var_err < 1e-2
+
 theta = jnp.asarray([66,67,2.4,90,1.3,.66,1.2,.78,.18,1.6,.19], jnp.float32)
-xc, yc = datasets.mauna_loa()
+xc, yc, _co2_mean = datasets.mauna_loa()
 kc = ops.co2_kernel(); pc = ops.co2_params_from_vector(theta)
 lml = gp.log_marginal_likelihood(kc, pc, jnp.asarray(xc, jnp.float32), jnp.asarray(yc, jnp.float32), noise_variance=5e-4)
 print("co2 lml:", float(lml), np.isfinite(float(lml)))

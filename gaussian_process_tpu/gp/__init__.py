@@ -7,6 +7,8 @@ from gaussian_process_tpu.gp.regression import (
     sample_prior,
     sample_posterior,
     posterior_mean_cg,
+    posterior_cg,
+    CGPosterior,
 )
 
 from gaussian_process_tpu.gp.classification import (
@@ -34,6 +36,8 @@ __all__ = [
     "sample_prior",
     "sample_posterior",
     "posterior_mean_cg",
+    "posterior_cg",
+    "CGPosterior",
     "BinaryLaplaceState",
     "BinaryPrediction",
     "laplace_fit",

@@ -56,6 +56,7 @@ def laplace_fit(
     tol: float = None,
     max_iters: int = 100,
     f_init: jnp.ndarray = None,
+    mode: str = "newton",
 ) -> BinaryLaplaceState:
     """Newton iteration to the Laplace mode given a dense prior K.
 
@@ -65,7 +66,24 @@ def laplace_fit(
 
     ``f_init`` warm-starts the iteration (checkpoint/resume of a Newton run;
     default zeros, R&W's recommended start).
+
+    ``mode="reference"`` reproduces the reference's training loop *exactly as
+    written* (quirk Q2): the log-likelihood gradient and W are evaluated once
+    at ``f_init`` (the reference's prior sample, [ref:
+    GP_binary_classification.py:104-105]) and frozen, the iteration becomes a
+    linear fixed-point solve started from f = 0 [ref: :100], and —
+    critically for the printed accuracy metric [ref: :241] — the returned
+    ``grad_at_mode``/``sqrt_w``/``chol_B`` are the *frozen* quantities, which
+    is what the reference's ``prediction`` consumes [ref: :136-154]. The
+    frozen gradient matches the reference's ``deriv_log_likelihood(y, f)``
+    = t - sigmoid(y * f) form [ref: :65-74] and the frozen W its
+    ``pi(f)(1 - pi(f))`` form [ref: :76-83] (note the reference's asymmetric
+    use of y*f vs f between the two — reproduced, not corrected, here).
     """
+    if mode == "reference":
+        return _laplace_fit_reference(K, y, tol=tol, max_iters=max_iters, f_init=f_init)
+    if mode != "newton":
+        raise ValueError(f"unknown mode {mode!r} (expected 'newton' or 'reference')")
     y = jnp.asarray(y, K.dtype)  # integer {-1,+1} labels are fine to pass
     n = y.shape[0]
     if tol is None:
@@ -122,6 +140,78 @@ def laplace_fit(
     )
 
 
+def _laplace_fit_reference(
+    K: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    tol: float = None,
+    max_iters: int = 100,
+    f_init: jnp.ndarray = None,
+) -> BinaryLaplaceState:
+    """The reference's frozen-W linearised solve (quirk Q2) — see
+    :func:`laplace_fit`. Kept separate so the true-Newton path stays clean."""
+    y = jnp.asarray(y, K.dtype)
+    n = y.shape[0]
+    if tol is None:
+        tol = 1e-4  # the reference's absolute tolerance [ref: GP_binary_classification.py:98]
+    t = (y + 1.0) / 2.0
+    f0 = jnp.zeros_like(y) if f_init is None else jnp.asarray(f_init, K.dtype)
+
+    # gradient frozen at f_init with the reference's y*f argument [ref: :74]
+    grad0 = t - jax.nn.sigmoid(y * f0)
+    # W frozen at f_init with the reference's f argument [ref: :83, :105]
+    pi0 = jax.nn.sigmoid(f0)
+    w0 = pi0 * (1.0 - pi0)
+    sw = jnp.sqrt(w0)
+    eye = jnp.eye(n, dtype=K.dtype)
+    B = eye + sw[:, None] * K * sw[None, :]
+    L = lax.linalg.cholesky(B)
+
+    def step(f):
+        b = w0 * f + grad0
+        inner = _chol.cholesky_solve(L, sw * (K @ b))
+        a = b - sw * inner
+        return K @ a
+
+    trace0 = jnp.full((max_iters,), jnp.nan, dtype=K.dtype)
+
+    def cond(state):
+        i, _, _, err = state
+        return (i < max_iters) & (err > tol)
+
+    def body(state):
+        i, f, trace, _ = state
+        f_new = step(f)
+        # the reference's absolute error ||f_new - f||_2 [ref: :113]
+        err = jnp.linalg.norm(f_new - f)
+        return i + 1, f_new, trace.at[i].set(err), err
+
+    big = jnp.asarray(jnp.inf, K.dtype)
+    # the reference starts the iterate at zero regardless of f_init [ref: :100]
+    iters, f, trace, err = lax.while_loop(
+        cond, body, (jnp.asarray(0), jnp.zeros_like(y), trace0, big)
+    )
+
+    b = w0 * f + grad0
+    inner = _chol.cholesky_solve(L, sw * (K @ b))
+    a = b - sw * inner  # = K^{-1} f at the fixed point
+    lml = (
+        -0.5 * jnp.dot(a, f)
+        + _log_sigmoid_likelihood(y, f)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+    )
+    return BinaryLaplaceState(
+        f_mode=f,
+        grad_at_mode=grad0,  # frozen: what the reference's prediction uses
+        sqrt_w=sw,
+        chol_B=L,
+        lml=lml,
+        iters=iters,
+        converged=err <= tol,
+        error_trace=trace,
+    )
+
+
 class BinaryPrediction(NamedTuple):
     mean: jnp.ndarray  # (m,) latent mean f_bar*
     var: jnp.ndarray  # (m,) latent variance
@@ -162,13 +252,16 @@ def fit_binary(
     max_iters: int = 100,
     dist_method: str = "dot",
     f_init: jnp.ndarray = None,
+    mode: str = "newton",
 ) -> BinaryLaplaceState:
     """Convenience wrapper: build K with the kernel algebra, then Newton.
 
     [ref: GP_binary_classification.py:179 builds K with RBF sigma=l=1]
     """
     K = _k.gram(kernel, params, x_train, method=dist_method)
-    return laplace_fit(K, y_train, tol=tol, max_iters=max_iters, f_init=f_init)
+    return laplace_fit(
+        K, y_train, tol=tol, max_iters=max_iters, f_init=f_init, mode=mode
+    )
 
 
 def predict_binary(

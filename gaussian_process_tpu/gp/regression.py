@@ -184,6 +184,114 @@ def sample_posterior(
     )
 
 
+class CGPosterior(NamedTuple):
+    mean: jnp.ndarray  # (n_test,)
+    var: jnp.ndarray  # (n_test,) predictive marginal variance
+    std: jnp.ndarray
+    iters: jnp.ndarray  # total CG iterations across all solves
+    resnorm: jnp.ndarray  # worst final residual norm across solves
+
+
+def posterior_cg(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    noise_variance: float = 5e-4,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+    test_chunk: int = 512,
+    use_pallas: Optional[bool] = None,
+) -> CGPosterior:
+    """Matrix-free exact-GP posterior (mean AND variance) at large n.
+
+    K(X, X) is never materialised: every matvec streams kernel tiles
+    (Pallas ``gram_matvec`` on TPU; the XLA gram on CPU where tests run).
+    The predictive variance is computed exactly (to CG tolerance), not by
+    stochastic estimation: for each chunk C of test points,
+
+        U = (K + s I)^{-1} K_sC        (one block-CG solve, |C| RHS share
+                                        every kernel tile per iteration)
+        var_C = diag(K_CC) - sum(K_sC * U, axis=0)
+
+    which is the v = L \\ K_s variance of Alg. 2.1 [ref: GP_regression.py:
+    144-147] with the triangular solve replaced by CG. alpha rides the
+    first chunk's block solve as an extra RHS. Memory: O(n * test_chunk).
+
+    The reference has no large-n path at all (dense factorization only,
+    [ref: GP_regression.py:138]); this is the n ~ 100k single-chip path
+    (BASELINE.md row 2). For the distributed version see
+    ``parallel.cg.make_posterior_cg``.
+    """
+    x_train = jnp.atleast_2d(x_train)
+    x_test = jnp.atleast_2d(x_test)
+    n = x_train.shape[0]
+    m = x_test.shape[0]
+
+    k_nw, p_nw, white_var = _k.split_white(kernel, params)
+    shift = noise_variance + (white_var if white_var is not None else 0.0)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and _k.is_stationary(kernel)
+    if use_pallas:
+        from gaussian_process_tpu.ops import pallas as _pops
+
+        matvec = lambda v: _pops.gram_matvec(k_nw, p_nw, x_train, None, v)
+        cross_chunk = lambda xc: _k.gram(k_nw, p_nw, x_train, xc)
+    else:
+        K = _k.gram(k_nw, p_nw, x_train)  # CPU/test path: dense is fine
+        matvec = lambda v: K @ v
+        cross_chunk = lambda xc: _k.gram(k_nw, p_nw, x_train, xc)
+
+    noisy_mv = lambda v: matvec(v) + shift * v
+    prior_diag = _k.gram_diag(k_nw, p_nw, x_train) + shift
+
+    # chunked test points; pad the last chunk to keep shapes static
+    chunk = min(test_chunk, m)
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    x_test_p = jnp.pad(x_test, ((0, m_pad - m), (0, 0)))
+
+    kss = _k.gram_diag(kernel, params, x_test_p)  # full kernel: white counts
+    means, vars = [], []
+    total_iters = jnp.asarray(0)
+    worst_res = jnp.asarray(0.0, x_train.dtype)
+    alpha = None
+    for c in range(n_chunks):
+        xc = x_test_p[c * chunk : (c + 1) * chunk]
+        Ks = cross_chunk(xc)  # (n, chunk)
+        rhs = jnp.concatenate([y_train[:, None], Ks], axis=1) if c == 0 else Ks
+        state = _cg.cg_solve(
+            noisy_mv,
+            rhs,
+            tol=tol,
+            max_iters=max_iters,
+            precond_diag=prior_diag,
+        )
+        U = state.x
+        if c == 0:
+            alpha = U[:, 0]
+            U = U[:, 1:]
+        means.append(Ks.T @ alpha)
+        vars.append(
+            kss[c * chunk : (c + 1) * chunk] - jnp.sum(Ks * U, axis=0)
+        )
+        total_iters = total_iters + state.iters
+        worst_res = jnp.maximum(worst_res, state.resnorm)
+
+    mean = jnp.concatenate(means)[:m]
+    var = jnp.maximum(jnp.concatenate(vars)[:m], 0.0)
+    return CGPosterior(
+        mean=mean,
+        var=var,
+        std=jnp.sqrt(var),
+        iters=total_iters,
+        resnorm=worst_res,
+    )
+
+
 def posterior_mean_cg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     cross_mv: Callable[[jnp.ndarray], jnp.ndarray],

@@ -2,10 +2,13 @@
 
 XLA's stock ``lax.linalg.cholesky`` on TPU expands to a blocked algorithm
 with a small fixed panel, so most of the n^3/3 work runs in narrow GEMMs and
-the factorization sits far from MXU peak (measured ~12 TFLOP/s f32 at
-n = 8192 on v5e). These routines re-blockthe same math with a wide panel
-(default 1024) so the trailing symmetric rank-k update — where almost all
-the FLOPs are — is one large square GEMM per panel:
+the factorization sits far from MXU peak. Measured on v5e at n = 8192, f32,
+slope-timed so fixed dispatch/RTT cost cancels: stock 13.7 ms (13.3 TFLOP/s)
+vs this routine at block=512: 10.4 ms (17.6 TFLOP/s) — the production
+default via ``cholesky.safe_cholesky`` above MIN_BLOCKED_N. These routines
+re-block the same math with a wide panel (default 512) so the trailing
+symmetric rank-k update — where almost all the FLOPs are — is one large
+square GEMM per panel:
 
     for each panel k:                      (right-looking, unrolled)
         L_kk     = chol(A_kk)              # small dense factorization
@@ -14,8 +17,10 @@ the FLOPs are — is one large square GEMM per panel:
 
 ``blocked_tri_solve`` applies the same idea to L X = B with many RHS
 (the v = L \\ K_s solve of R&W Alg. 2.1 [ref: GP_regression.py:144] at
-n_test RHS): per block-row, one small TRSM plus one wide GEMM, so the
-O(n^2 m) work runs at GEMM speed instead of XLA TRSM speed.
+n_test RHS). Measured outcome (v5e, n=8192, m=2048 RHS): stock XLA TRSM
+already runs at ~56 TFLOP/s and the blocked variant is throughput-parity,
+so production ``tri_solve`` keeps the stock op; this routine stays (tested)
+as the building block the distributed panel solves reuse.
 
 The panel loop is unrolled in Python (shapes shrink per panel, all static),
 which XLA compiles into one fused program; panel counts are n/block <= ~32,
@@ -29,13 +34,29 @@ host [ref: GP_regression.py:138] and never blocks anything.
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
-DEFAULT_BLOCK = 1024
+DEFAULT_BLOCK = 512
 # below this size the stock XLA op is already fine and blocking only adds
 # launch overhead
-MIN_BLOCKED_N = 2048
+MIN_BLOCKED_N = 4096
+
+
+def _use_pallas_panels(dtype, use_pallas: Optional[bool]) -> bool:
+    """Fused Pallas panel factor+inverse (ops/pallas/chol.py): available but
+    OFF by default — measured on v5e at n=8192 (slope-timed, RTT-free):
+    stock 13.7 ms / blocked-XLA 10.4 ms / blocked-Pallas-panel 12.0 ms.
+    The Mosaic per-fori-iteration overhead (~0.6 us x b pivot steps) exceeds
+    what the fused panel saves over XLA's already-pipelined small chol+TRSM
+    pair. Kept (tested, correct) for architectures where the tradeoff flips.
+    f32-only (f64 callers — the CPU parity suite — keep the XLA panel ops)."""
+    if use_pallas is None:
+        return False
+    return use_pallas and dtype == jnp.float32
 
 
 def _tri_solve_right_lt(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
@@ -64,11 +85,17 @@ def blocked_cholesky(
     *,
     block: int = DEFAULT_BLOCK,
     precision: lax.Precision = lax.Precision.HIGH,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Lower Cholesky factor of PSD ``K`` via wide-panel right-looking
     factorization (MXU-dominant). Semantically identical to
     ``lax.linalg.cholesky`` (NaN on indefinite input), faster at
     n >= 4096 on TPU.
+
+    ``use_pallas=True`` factors (and inverts) each diagonal panel with the
+    fused Pallas kernel :func:`ops.pallas.chol.chol_inv_panel` instead of
+    the XLA chol + triangular-inverse pair; measured slower on v5e (see
+    ``_use_pallas_panels``), so off by default.
 
     ``precision`` controls the MXU pass count for the SYRK/panel GEMMs:
     HIGH (bf16x3, default) is f32-equivalent for these O(1)-magnitude kernel
@@ -81,6 +108,9 @@ def blocked_cholesky(
         raise ValueError("blocked_cholesky expects a single (n, n) matrix")
     if n <= max(block, MIN_BLOCKED_N):
         return lax.linalg.cholesky(K)
+    pallas_panels = _use_pallas_panels(K.dtype, use_pallas)
+    if pallas_panels:
+        from gaussian_process_tpu.ops.pallas import chol as _pchol
 
     dtype = K.dtype
     # column-block panels of the growing factor; assembled at the end
@@ -91,11 +121,16 @@ def blocked_cholesky(
         b = min(block, n - offset)
         A_kk = rest[:b, :b]
         A_ik = rest[b:, :b]
-        L_kk = lax.linalg.cholesky(A_kk)
+        if pallas_panels:
+            L_kk, W_kk = _pchol.chol_inv_panel(A_kk)
+            inv_T = W_kk.T
+        else:
+            L_kk = lax.linalg.cholesky(A_kk)
+            inv_T = _tri_inv(L_kk).T
         # panel solve as GEMM: A_ik L_kk^{-T} with an explicit small inverse
         L_ik = jnp.dot(
             A_ik,
-            _tri_inv(L_kk).T,
+            inv_T,
             preferred_element_type=dtype,
             precision=precision,
         )

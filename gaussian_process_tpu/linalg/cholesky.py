@@ -22,6 +22,19 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gaussian_process_tpu.linalg import blocked as _blocked
+
+
+def _chol_dispatch(K: jnp.ndarray) -> jnp.ndarray:
+    """Stock XLA Cholesky below MIN_BLOCKED_N; wide-panel blocked (with the
+    fused Pallas panel factor+inverse on TPU/f32) above it — the measured
+    v5e crossover where XLA's narrow-panel factorization goes latency-bound
+    (see linalg/blocked.py). Semantics identical (NaN on indefinite input),
+    so the jitter-retry and custom_vjp logic below are algorithm-agnostic."""
+    if K.ndim == 2 and K.shape[-1] >= _blocked.MIN_BLOCKED_N:
+        return _blocked.blocked_cholesky(K)
+    return lax.linalg.cholesky(K)
+
 
 class CholeskyResult(NamedTuple):
     factor: jnp.ndarray  # lower-triangular L with K + jitter*I = L L^T
@@ -59,10 +72,10 @@ def _safe_chol_impl(K0, min_retry: float, growth: float, max_attempts: int):
             * scale
             * (jnp.asarray(growth, K0.dtype) ** attempt.astype(K0.dtype))
         )
-        L = lax.linalg.cholesky(K0 + jit_val * eye)
+        L = _chol_dispatch(K0 + jit_val * eye)
         return attempt + 1, L, jit_val
 
-    L0 = lax.linalg.cholesky(K0)
+    L0 = _chol_dispatch(K0)
     zero = jnp.asarray(0.0, K0.dtype)
     _, L, jitter = lax.while_loop(cond, body, (jnp.asarray(0), L0, zero))
     return L, jitter, _chol_ok(L)

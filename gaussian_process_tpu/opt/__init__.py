@@ -9,6 +9,7 @@ from gaussian_process_tpu.opt.gradient import (
 from gaussian_process_tpu.opt.bo import (
     BOResult,
     tune_bayesian_opt,
+    dedup_candidates,
     acquisition_pi,
     acquisition_ei,
     acquisition_ucb,
@@ -22,6 +23,7 @@ __all__ = [
     "exp_params",
     "BOResult",
     "tune_bayesian_opt",
+    "dedup_candidates",
     "acquisition_pi",
     "acquisition_ei",
     "acquisition_ucb",

@@ -81,6 +81,25 @@ def _default_candidates(key, bounds, n, d):
     return np.asarray(lo) + u * (np.asarray(hi) - np.asarray(lo))
 
 
+def dedup_candidates(
+    cands: np.ndarray, pts: np.ndarray, *, rel_tol: float = 1e-6
+) -> np.ndarray:
+    """Drop proposals that coincide with already-evaluated points.
+
+    The reference dedups BO proposals against the evaluated set before
+    scoring them (``overlap`` [ref: tune_hyperparms_regression.py:316-329],
+    regenerating via ``random_gen_test_parms`` [ref: :331-346]); without
+    this the search can burn iterations re-evaluating (or proposing
+    epsilon-duplicates of) known points.
+    """
+    if len(pts) == 0 or len(cands) == 0:
+        return cands
+    diff = np.abs(cands[:, None, :] - pts[None, :, :])  # (c, k, d)
+    scale = np.maximum(np.abs(pts), 1.0)[None, :, :]
+    dup = (diff <= rel_tol * scale).all(axis=-1).any(axis=-1)
+    return cands[~dup]
+
+
 def tune_bayesian_opt(
     objective: Callable[[np.ndarray], float],
     initial_points: np.ndarray,
@@ -95,6 +114,8 @@ def tune_bayesian_opt(
     surrogate_noise: float = 1e-4,
     ucb_kappa: float = 0.001,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> BOResult:
     """Maximise a black-box ``objective`` (e.g. the LML as a function of a
     hyperparameter vector) over a box.
@@ -103,11 +124,43 @@ def tune_bayesian_opt(
     surrogate kernel params — the CO2 pipeline keys its composite surrogate on
     the first training point [ref: CO2_example.py:162]; default is a unit RBF
     [ref: tune_hyperparms_regression.py:81-83].
+
+    Proposals are deduplicated against every point already evaluated
+    (:func:`dedup_candidates`), so an objective value is computed at most
+    once per point.
+
+    ``checkpoint_dir``: persist (points, values, RNG key) after every
+    objective evaluation via :mod:`utils.checkpoint`; with ``resume`` a
+    killed search continues from the last completed iteration instead of
+    re-evaluating the (expensive) objective history.
     """
+    from gaussian_process_tpu.utils import checkpoint as _ckpt
+
     key = jax.random.key(seed)
     pts = np.atleast_2d(np.asarray(initial_points, dtype=np.float64))
     d = pts.shape[1]
-    vals = np.array([float(objective(p)) for p in pts])
+    start_iter = 0
+    if checkpoint_dir is not None and resume:
+        step = _ckpt.latest_step(checkpoint_dir)
+        if step is not None:
+            like = {
+                "points": np.zeros((0, d)),
+                "values": np.zeros((0,)),
+                "key": jax.random.key_data(key),
+            }
+            state = _ckpt.restore(checkpoint_dir, like, step=step)
+            pts = np.atleast_2d(state["points"])
+            vals = np.asarray(state["values"])
+            key = jax.random.wrap_key_data(state["key"])
+            start_iter = step
+    if start_iter == 0:
+        vals = np.array([float(objective(p)) for p in pts])
+        if checkpoint_dir is not None:
+            _ckpt.save(
+                checkpoint_dir,
+                {"points": pts, "values": vals, "key": jax.random.key_data(key)},
+                step=0,
+            )
 
     if surrogate_kernel is None:
         surrogate_kernel = _k.RBF()
@@ -120,11 +173,21 @@ def tune_bayesian_opt(
     )
 
     stopped = False
-    it = 0
+    it = start_iter
     last_pick: Optional[np.ndarray] = None
-    for it in range(1, n_iterations + 1):
-        key, ck, tk = jax.random.split(key, 3)
-        cands = _default_candidates(ck, bounds, n_candidates, d)
+    for it in range(start_iter + 1, n_iterations + 1):
+        cands = np.zeros((0, d))
+        for _attempt in range(4):  # regenerate until fresh points appear
+            key, ck = jax.random.split(key)
+            cands = dedup_candidates(
+                _default_candidates(ck, bounds, n_candidates, d), pts
+            )
+            if len(cands):
+                break
+        if len(cands) == 0:  # box exhausted (tiny/discrete search spaces)
+            stopped = True
+            break
+        key, tk = jax.random.split(key)
 
         sp = surrogate_params_fn(pts) if surrogate_params_fn else surrogate_params
         post = posterior_jit(sp, jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(cands))
@@ -157,6 +220,12 @@ def tune_bayesian_opt(
         last_pick = pick
         pts = np.vstack([pts, pick])
         vals = np.append(vals, float(objective(pick)))
+        if checkpoint_dir is not None:
+            _ckpt.save(
+                checkpoint_dir,
+                {"points": pts, "values": vals, "key": jax.random.key_data(key)},
+                step=it,
+            )
 
     best = int(np.argmax(vals))
     return BOResult(

@@ -117,3 +117,31 @@ def laplace_binary_predict(K_s, kss_diag, f_mode_grad, L, sW):
     v = solve_triangular(L, sW[:, None] * K_s, lower=True)
     var = kss_diag - (v**2).sum(0)
     return mean, var
+
+
+def laplace_binary_reference_mode(K, y, f_prior, max_iters=10000, tol=1e-4):
+    """Transliteration of the reference's frozen-W training loop (quirk Q2)
+    [ref: GP_binary_classification.py:86-133]: grad/W evaluated once at the
+    prior sample, f iterated from zero through the linearised update.
+    Returns (f_fixed_point, grad0, L, sW) — grad0/L/sW are what the
+    reference's prediction consumes [ref: :136-154]."""
+    from scipy.special import expit
+
+    n = len(y)
+    t = (y + 1.0) / 2.0
+    grad0 = t - expit(y * f_prior)              # deriv at y*f_prior [ref: :74]
+    pi0 = expit(f_prior)
+    W = pi0 * (1.0 - pi0)                       # -sec_deriv at f_prior [ref: :83]
+    sW = np.sqrt(W)
+    L = np.linalg.cholesky(np.eye(n) + sW[:, None] * K * sW[None, :])
+    f = np.zeros(n)
+    for _ in range(max_iters):
+        b = W * f + grad0
+        inner = np.linalg.solve(L.T, np.linalg.solve(L, sW * (K @ b)))
+        a = b - sW * inner
+        f_new = K @ a
+        err = np.sqrt(np.sum((f_new - f) ** 2))
+        f = f_new
+        if err <= tol:
+            break
+    return f, grad0, L, sW

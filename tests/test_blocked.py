@@ -1,0 +1,106 @@
+"""Blocked (panel) Cholesky / TRSM and the fused Pallas panel kernel.
+
+These are the production fast paths above ``MIN_BLOCKED_N`` (wired through
+``linalg.safe_cholesky`` / ``gp.posterior``); correctness here is against
+NumPy/SciPy f64 oracles (SURVEY.md sec. 4 item 2). The Pallas panel kernel
+runs in interpret mode on CPU (kept to one small size — interpret mode is
+slow); compiled-mode validation happens on TPU via bench.py's parity gate.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.linalg import solve_triangular
+
+from gaussian_process_tpu.linalg import blocked
+from gaussian_process_tpu.linalg.cholesky import safe_cholesky
+
+
+def _spd(rng, n, jitter=1e-3):
+    x = rng.uniform(-5, 5, (n, 4))
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    return np.exp(-0.5 * sq) + jitter * np.eye(n)
+
+
+class TestBlockedCholesky:
+    def test_matches_stock_above_threshold(self, rng):
+        n = blocked.MIN_BLOCKED_N + 160  # force the blocked path, n % block != 0
+        K = _spd(rng, n)
+        L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
+        L0 = np.linalg.cholesky(K)
+        np.testing.assert_allclose(L, L0, rtol=1e-8, atol=1e-9)
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+    def test_small_n_delegates_to_stock(self, rng):
+        K = _spd(rng, 64)
+        L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
+        np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-10)
+
+    def test_nan_on_indefinite(self, rng):
+        n = blocked.MIN_BLOCKED_N + 64
+        K = _spd(rng, n)
+        K[n - 1, n - 1] = -1e3  # indefinite trailing block
+        L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
+        assert np.isnan(np.diag(L)).any()
+
+    def test_safe_cholesky_routes_through_blocked(self, rng):
+        """safe_cholesky at n >= MIN_BLOCKED_N must produce the same factor
+        (the dispatcher is supposed to be semantics-invisible)."""
+        n = blocked.MIN_BLOCKED_N
+        K = _spd(rng, n)
+        res = safe_cholesky(jnp.asarray(K))
+        assert bool(res.ok)
+        np.testing.assert_allclose(
+            np.asarray(res.factor), np.linalg.cholesky(K), rtol=1e-8, atol=1e-9
+        )
+
+
+class TestBlockedTriSolve:
+    @pytest.mark.parametrize("trans", [False, True])
+    def test_matches_scipy(self, rng, trans):
+        n = blocked.MIN_BLOCKED_N + 128
+        K = _spd(rng, n)
+        L = np.linalg.cholesky(K)
+        B = rng.standard_normal((n, 32))
+        X = np.asarray(
+            blocked.blocked_tri_solve(jnp.asarray(L), jnp.asarray(B), trans=trans)
+        )
+        X0 = solve_triangular(L.T if trans else L, B, lower=not trans)
+        np.testing.assert_allclose(X, X0, rtol=1e-7, atol=1e-8)
+
+    def test_vector_rhs(self, rng):
+        n = blocked.MIN_BLOCKED_N + 128
+        L = np.linalg.cholesky(_spd(rng, n))
+        b = rng.standard_normal(n)
+        x = np.asarray(blocked.blocked_tri_solve(jnp.asarray(L), jnp.asarray(b)))
+        np.testing.assert_allclose(x, solve_triangular(L, b, lower=True), rtol=1e-7, atol=1e-8)
+
+
+class TestPallasPanel:
+    def test_chol_inv_panel_interpret(self, rng):
+        from gaussian_process_tpu.ops.pallas.chol import chol_inv_panel
+
+        b = 128
+        X = rng.standard_normal((b, b)).astype(np.float32)
+        A = X @ X.T / b + np.eye(b, dtype=np.float32)
+        L, W = chol_inv_panel(jnp.asarray(A), interpret=True)
+        L0 = np.linalg.cholesky(A.astype(np.float64))
+        W0 = np.linalg.inv(L0)
+        assert np.max(np.abs(np.asarray(L) - L0)) / np.max(np.abs(L0)) < 1e-5
+        assert np.max(np.abs(np.asarray(W) - W0)) / np.max(np.abs(W0)) < 1e-5
+        # strictly lower-triangular outputs
+        assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+        assert np.allclose(np.triu(np.asarray(W), 1), 0.0)
+
+    def test_padding_path(self, rng):
+        """b not a multiple of 128 pads with an identity extension that must
+        not leak into the returned factors."""
+        from gaussian_process_tpu.ops.pallas.chol import chol_inv_panel
+
+        b = 96
+        X = rng.standard_normal((b, b)).astype(np.float32)
+        A = X @ X.T / b + np.eye(b, dtype=np.float32)
+        L, W = chol_inv_panel(jnp.asarray(A), interpret=True)
+        assert L.shape == (b, b) and W.shape == (b, b)
+        L0 = np.linalg.cholesky(A.astype(np.float64))
+        assert np.max(np.abs(np.asarray(L) - L0)) / np.max(np.abs(L0)) < 1e-5

@@ -179,3 +179,69 @@ class TestMulticlassLaplace:
         )
         np.testing.assert_allclose(np.asarray(pred.prob).sum(0), 1.0, rtol=1e-10)
         np.testing.assert_allclose(np.asarray(state.pi).sum(0), 1.0, rtol=1e-8)
+
+
+class TestReferenceModeBinary:
+    """laplace_fit(mode='reference') reproduces the reference's frozen-W
+    solve and its printed accuracy metric (SURVEY.md quirk Q2; VERDICT
+    'reference-metric reproduction modes')."""
+
+    def test_matches_frozen_w_oracle(self, rng):
+        X_train, _, y_train, _ = _moons()
+        K = oracles.rbf(X_train, X_train, 1.0, 1.0)
+        f_prior = rng.standard_normal(len(y_train))  # stand-in prior sample
+        f_o, grad_o, L_o, sW_o = oracles.laplace_binary_reference_mode(
+            K, y_train.astype(float), f_prior
+        )
+        state = gp.laplace_fit(
+            jnp.asarray(K),
+            jnp.asarray(y_train, jnp.float64),
+            f_init=jnp.asarray(f_prior),
+            mode="reference",
+            max_iters=10000,
+        )
+        assert bool(state.converged)
+        np.testing.assert_allclose(state.f_mode, f_o, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(state.grad_at_mode, grad_o, rtol=1e-10)
+        np.testing.assert_allclose(state.sqrt_w, sW_o, rtol=1e-10)
+        np.testing.assert_allclose(state.chol_B, L_o, rtol=1e-8, atol=1e-10)
+
+    def test_reference_mode_moons_accuracy(self):
+        """End-to-end quirk-Q2 pipeline: prior sample drawn with
+        lengthscale = num_train (the reference's argument-slot accident,
+        [ref: GP_binary_classification.py:193 vs GP_regression.py:71]) on a
+        linspace sampling grid [ref: :203-208], frozen-W fit, batched
+        prediction -> the reference's printed 'classification right rate'
+        [ref: :241]. RNG-dependent, so assert the distributional band the
+        reference's own runs land in rather than one value."""
+        X_train, X_test, y_train, y_test = _moons()
+        n = len(X_train)
+        X = np.vstack([X_train, X_test])
+        grid = np.stack(
+            [
+                np.linspace(X[:, 0].min(), X[:, 0].max(), n),
+                np.linspace(X[:, 1].min(), X[:, 1].max(), n),
+            ],
+            axis=1,
+        )
+        k = ops.RBF()
+        # lengthscale = num_train = 60: quirk Q2's accidental kernel params
+        p_prior = {"sigma": jnp.asarray(1.0), "lengthscale": jnp.asarray(float(n))}
+        f_prior = gp.sample_prior(
+            k, p_prior, grid, jax.random.key(3), num_functions=1
+        )[:, 0]
+        p = k.init_params()
+        state = gp.fit_binary(
+            k, p, X_train, jnp.asarray(y_train, jnp.float64),
+            f_init=f_prior, mode="reference", max_iters=10000,
+        )
+        pred = gp.predict_binary(k, p, state, X_train, X_test)
+        acc = float(np.mean(np.asarray(pred.label) == y_test))
+        assert acc >= 0.5  # frozen-W at a random prior is weak but above chance
+
+        # the corrected algorithm on the same data must do at least as well
+        state_n = gp.fit_binary(k, p, X_train, jnp.asarray(y_train, jnp.float64))
+        pred_n = gp.predict_binary(k, p, state_n, X_train, X_test)
+        acc_n = float(np.mean(np.asarray(pred_n.label) == y_test))
+        assert acc_n >= acc - 1e-9
+        assert acc_n >= 0.85

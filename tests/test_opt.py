@@ -145,3 +145,93 @@ class TestBayesianOpt:
             seed=1,
         )
         assert np.isfinite(res.best_value)
+
+
+class TestBODedupAndResume:
+    def test_dedup_candidates(self):
+        """Proposals coinciding with evaluated points are dropped — the
+        reference's overlap [ref: tune_hyperparms_regression.py:316-329]."""
+        pts = np.array([[1.0, 2.0], [3.0, 4.0]])
+        cands = np.array([[1.0, 2.0], [1.0, 2.1], [5.0, 6.0], [3.0, 4.0]])
+        fresh = opt.dedup_candidates(cands, pts)
+        np.testing.assert_array_equal(fresh, [[1.0, 2.1], [5.0, 6.0]])
+
+    def test_bo_never_reevaluates(self, rng):
+        seen = []
+
+        def objective(v):
+            key = tuple(np.round(np.asarray(v, float), 12))
+            assert key not in seen, f"re-evaluated {key}"
+            seen.append(key)
+            return -float(((np.asarray(v) - 2.0) ** 2).sum())
+
+        res = opt.tune_bayesian_opt(
+            objective,
+            np.array([[1.0], [3.0]]),
+            (np.array([0.0]), np.array([5.0])),
+            n_iterations=6,
+            n_candidates=25,
+            acquisition="EI",
+            seed=0,
+        )
+        assert len(res.values) == len(seen)
+
+    def test_bo_stops_when_box_exhausted(self):
+        """A degenerate box (single point, already evaluated) must stop
+        instead of re-evaluating forever."""
+        calls = []
+
+        def objective(v):
+            calls.append(1)
+            return 0.0
+
+        res = opt.tune_bayesian_opt(
+            objective,
+            np.array([[1.0]]),
+            (np.array([1.0]), np.array([1.0])),  # zero-volume box
+            n_iterations=5,
+            n_candidates=10,
+        )
+        assert res.stopped_early
+        assert len(calls) == 1  # only the initial point
+
+    def test_bo_checkpoint_resume(self, tmp_path, rng):
+        """Kill-resume: a second run with the same checkpoint dir continues
+        from the stored history without re-evaluating the objective."""
+        ckdir = str(tmp_path / "bo_ck")
+        calls_a, calls_b = [], []
+
+        def make_objective(calls):
+            def objective(v):
+                calls.append(float(np.asarray(v).ravel()[0]))
+                return -float(((np.asarray(v) - 2.0) ** 2).sum())
+            return objective
+
+        res_a = opt.tune_bayesian_opt(
+            make_objective(calls_a),
+            np.array([[1.0]]),
+            (np.array([0.0]), np.array([5.0])),
+            n_iterations=3,
+            n_candidates=20,
+            acquisition="EI",
+            seed=3,
+            checkpoint_dir=ckdir,
+        )
+        # "crashed" after 3 iterations; resume and extend to 5
+        res_b = opt.tune_bayesian_opt(
+            make_objective(calls_b),
+            np.array([[1.0]]),
+            (np.array([0.0]), np.array([5.0])),
+            n_iterations=5,
+            n_candidates=20,
+            acquisition="EI",
+            seed=3,
+            checkpoint_dir=ckdir,
+        )
+        # resume did not replay the first run's evaluations
+        assert len(calls_b) <= 2
+        assert len(res_b.values) >= len(res_a.values)
+        np.testing.assert_array_equal(
+            res_b.points[: len(res_a.points)], res_a.points
+        )
+        assert res_b.best_value >= res_a.best_value

@@ -52,6 +52,62 @@ def test_mauna_loa_vendored():
     assert grid.min() > x.max()
 
 
+def test_mauna_loa_is_real_keeling_record():
+    """The vendored series is the real NOAA-anchored record, not the round-1
+    synthetic curve: spot-check the famous first measurements and the known
+    annual means (see data/make_mauna_loa.py provenance)."""
+    x, y, mean = datasets.mauna_loa()
+    t = x[:, 0]
+    co2 = y + mean
+    assert len(t) == 526  # monthly, Mar 1958 - Dec 2001
+    # first Keeling measurement: March 1958 = 315.71 ppm
+    np.testing.assert_allclose(co2[0], 315.71, atol=0.01)
+    np.testing.assert_allclose(t[0], 1958 + 2.5 / 12, atol=1e-3)
+    # NOAA annual means (1959, 1980, 2001)
+    # 0.15 ppm tolerance: the reconstruction anchors the trend at mid-year,
+    # so calendar-year averages differ from the NOAA annual means by the
+    # trend's curvature (<0.1 ppm) — see make_mauna_loa.py provenance
+    for year, ppm in [(1959, 315.98), (1980, 338.76), (2001, 371.32)]:
+        sel = (t >= year) & (t < year + 1)
+        assert sel.sum() == 12
+        np.testing.assert_allclose(co2[sel].mean(), ppm, atol=0.15)
+    # seasonal cycle ~6 ppm peak-to-trough, May max / Sep-Oct min
+    one_year = co2[(t >= 1990) & (t < 1991)]
+    assert 5.0 < one_year.max() - one_year.min() < 7.5
+    assert int(np.argmax(one_year)) == 4  # May
+    assert int(np.argmin(one_year)) in (8, 9)  # Sep/Oct
+
+
+def test_mauna_loa_book_theta_lml_anchor():
+    """The reference anchors its CO2 search to the GPML book hyperparameters'
+    LML [ref: CO2_example.py:324,362-371]. On the vendored real series that
+    anchor must be finite and bit-reproducible across runs (the parity
+    surface the CO2 example prints)."""
+    import jax.numpy as jnp
+
+    from gaussian_process_tpu import gp, ops
+
+    x, y, _ = datasets.mauna_loa()
+    theta = jnp.asarray(
+        [66.0, 67.0, 2.4, 90.0, 1.3, 0.66, 1.2, 0.78, 0.18, 1.6, 0.19]
+    )
+    kernel = ops.co2_kernel()
+    params = ops.co2_params_from_vector(theta)
+    lml1 = float(
+        gp.log_marginal_likelihood(kernel, params, jnp.asarray(x), jnp.asarray(y),
+                                   noise_variance=5e-4)
+    )
+    lml2 = float(
+        gp.log_marginal_likelihood(kernel, params, jnp.asarray(x), jnp.asarray(y),
+                                   noise_variance=5e-4)
+    )
+    assert np.isfinite(lml1)
+    assert lml1 == lml2  # deterministic reduction order
+    # f64 value recorded at vendoring time; the book kernel fits the real
+    # series well (positive LML at n=526 with s=5e-4)
+    assert abs(lml1 - 181.549) < 0.5
+
+
 # ----------------------------------------------------------------- logging
 
 
