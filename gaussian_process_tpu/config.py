@@ -25,7 +25,7 @@ class SolveConfig:
 
     noise_variance: float = 5e-4  # observation noise s [ref: GP_regression.py:120]
     sampling_jitter: float = 1e-6  # posterior-sample jitter [ref: GP_regression.py:154]
-    max_chol_attempts: int = 4  # jitter-escalation retries on non-PSD K
+    max_chol_attempts: int = 8  # jitter-escalation retries on non-PSD K
     jitter_growth: float = 10.0
     # Conjugate-gradient settings (large-n path; no reference equivalent —
     # the reference always factorizes densely, e.g. GP_regression.py:138).

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gaussian_process_tpu import config as _config
 from gaussian_process_tpu.linalg import cholesky as _chol
 from gaussian_process_tpu.ops import kernels as _k
 
@@ -54,11 +55,15 @@ def laplace_fit(
     y: jnp.ndarray,
     *,
     tol: float = None,
-    max_iters: int = 100,
+    max_iters: int = None,
     f_init: jnp.ndarray = None,
     mode: str = "newton",
+    cfg: _config.NewtonConfig = None,
 ) -> BinaryLaplaceState:
     """Newton iteration to the Laplace mode given a dense prior K.
+
+    ``cfg`` (config.NewtonConfig) supplies tol/max_iters defaults; explicit
+    arguments win.
 
     Each step (R&W Alg. 3.1): W = pi(1-pi); L = chol(I + sW K sW);
     b = W f + (t - pi); a = b - sW L^T \\ (L \\ (sW (K b))); f <- K a.
@@ -80,6 +85,13 @@ def laplace_fit(
     ``pi(f)(1 - pi(f))`` form [ref: :76-83] (note the reference's asymmetric
     use of y*f vs f between the two — reproduced, not corrected, here).
     """
+    if cfg is not None:
+        if tol is None and cfg.tol is not None:
+            tol = cfg.tol
+        if max_iters is None:
+            max_iters = cfg.max_iters
+    if max_iters is None:
+        max_iters = 100
     if mode == "reference":
         return _laplace_fit_reference(K, y, tol=tol, max_iters=max_iters, f_init=f_init)
     if mode != "newton":
@@ -249,10 +261,11 @@ def fit_binary(
     y_train: jnp.ndarray,
     *,
     tol: float = None,
-    max_iters: int = 100,
+    max_iters: int = None,
     dist_method: str = "dot",
     f_init: jnp.ndarray = None,
     mode: str = "newton",
+    cfg: _config.NewtonConfig = None,
 ) -> BinaryLaplaceState:
     """Convenience wrapper: build K with the kernel algebra, then Newton.
 
@@ -260,7 +273,7 @@ def fit_binary(
     """
     K = _k.gram(kernel, params, x_train, method=dist_method)
     return laplace_fit(
-        K, y_train, tol=tol, max_iters=max_iters, f_init=f_init, mode=mode
+        K, y_train, tol=tol, max_iters=max_iters, f_init=f_init, mode=mode, cfg=cfg
     )
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gaussian_process_tpu.linalg import cholesky as _chol
+from gaussian_process_tpu import config as _config
 from gaussian_process_tpu.ops import kernels as _k
 
 
@@ -58,14 +59,23 @@ def laplace_fit_multiclass(
     y: jnp.ndarray,
     *,
     tol: float = None,
-    max_iters: int = 100,
+    max_iters: int = None,
+    cfg: _config.NewtonConfig = None,
 ) -> MulticlassLaplaceState:
-    """Newton to the softmax-Laplace mode.
+    """Newton to the softmax-Laplace mode. ``cfg`` (config.NewtonConfig)
+    supplies tol/max_iters defaults; explicit arguments win.
 
     ``K``: (C, n, n) per-class prior blocks (the reference uses the same RBF
     block for every class [ref: GP_multi_classification.py:232-238]).
     ``y``: (C, n) one-hot targets [ref: :239-243, stride generalised].
     """
+    if cfg is not None:
+        if tol is None and cfg.tol is not None:
+            tol = cfg.tol
+        if max_iters is None:
+            max_iters = cfg.max_iters
+    if max_iters is None:
+        max_iters = 100
     C, n = y.shape
     if tol is None:
         tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
@@ -176,15 +186,16 @@ def fit_multiclass(
     num_classes: int,
     *,
     tol: float = None,
-    max_iters: int = 100,
+    max_iters: int = None,
     dist_method: str = "dot",
+    cfg: _config.NewtonConfig = None,
 ) -> MulticlassLaplaceState:
     """Shared-kernel convenience wrapper (the reference gives every class the
     same RBF block [ref: GP_multi_classification.py:232-238])."""
     Kc = _k.gram(kernel, params, x_train, method=dist_method)
     K = jnp.broadcast_to(Kc, (num_classes,) + Kc.shape)
     y = one_hot_targets(y_labels, num_classes).astype(Kc.dtype)
-    return laplace_fit_multiclass(K, y, tol=tol, max_iters=max_iters)
+    return laplace_fit_multiclass(K, y, tol=tol, max_iters=max_iters, cfg=cfg)
 
 
 def predict_multiclass(

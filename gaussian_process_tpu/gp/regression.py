@@ -34,9 +34,14 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from gaussian_process_tpu import config as _config
 from gaussian_process_tpu.linalg import cholesky as _chol
 from gaussian_process_tpu.linalg import cg as _cg
 from gaussian_process_tpu.ops import kernels as _k
+
+
+def _solve_cfg(cfg):
+    return _config.DEFAULT_SOLVE if cfg is None else cfg
 
 
 class Posterior(NamedTuple):
@@ -57,32 +62,50 @@ def posterior(
     y_train: jnp.ndarray,
     x_test: jnp.ndarray,
     *,
-    noise_variance: float = 5e-4,
+    noise_variance: Optional[float] = None,
     dist_method: str = "dot",
+    cfg: Optional[_config.SolveConfig] = None,
 ) -> Posterior:
     """Full exact-GP posterior at ``x_test`` (Alg. 2.1).
 
     [ref: GP_regression.py:109-156 (prediction)]
+
+    ``cfg`` (config.SolveConfig) carries every numeric knob — observation
+    noise, jitter-retry policy — with the reference's constants as defaults
+    (SURVEY.md Q6); an explicit ``noise_variance`` overrides it.
     """
-    K = _k.gram(kernel, params, x_train, method=dist_method)
-    K_s = _k.gram(kernel, params, x_train, x_test, method=dist_method)
-    kss_diag = _k.gram_diag(kernel, params, x_test)
+    cfg = _solve_cfg(cfg)
+    if noise_variance is None:
+        noise_variance = cfg.noise_variance
+    with jax.named_scope("gp.gram"):
+        K = _k.gram(kernel, params, x_train, method=dist_method)
+        K_s = _k.gram(kernel, params, x_train, x_test, method=dist_method)
+        kss_diag = _k.gram_diag(kernel, params, x_test)
 
-    res = _chol.safe_cholesky(K, initial_jitter=noise_variance)
-    L = res.factor
-    alpha = _chol.cholesky_solve(L, y_train)
+    with jax.named_scope("gp.factorize"):
+        res = _chol.safe_cholesky(
+            K,
+            initial_jitter=noise_variance,
+            jitter_growth=cfg.jitter_growth,
+            max_attempts=cfg.max_chol_attempts,
+        )
+        L = res.factor
+    with jax.named_scope("gp.solve"):
+        alpha = _chol.cholesky_solve(L, y_train)
 
-    mean = jnp.dot(K_s.T, alpha, preferred_element_type=K_s.dtype)
-    v = _chol.tri_solve(L, K_s)
-    var = kss_diag - jnp.sum(v * v, axis=0)
-    var = jnp.maximum(var, 0.0)
+    with jax.named_scope("gp.predict"):
+        mean = jnp.dot(K_s.T, alpha, preferred_element_type=K_s.dtype)
+        v = _chol.tri_solve(L, K_s)
+        var = kss_diag - jnp.sum(v * v, axis=0)
+        var = jnp.maximum(var, 0.0)
 
     n = x_train.shape[0]
-    lml = (
-        -0.5 * jnp.dot(y_train, alpha)
-        - jnp.sum(jnp.log(jnp.diagonal(L)))
-        - 0.5 * n * math.log(2.0 * math.pi)
-    )
+    with jax.named_scope("gp.lml"):
+        lml = (
+            -0.5 * jnp.dot(y_train, alpha)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * n * math.log(2.0 * math.pi)
+        )
     return Posterior(
         mean=mean,
         var=var,
@@ -101,24 +124,37 @@ def log_marginal_likelihood(
     x_train: jnp.ndarray,
     y_train: jnp.ndarray,
     *,
-    noise_variance: float = 5e-4,
+    noise_variance: Optional[float] = None,
     dist_method: str = "dot",
+    cfg: Optional[_config.SolveConfig] = None,
 ) -> jnp.ndarray:
     """Corrected LML — differentiable in ``params`` via jax.grad.
 
     [ref: tune_hyperparms_regression.py:292-313 (compute_mar_likelihood);
     the hand-derived RBF gradient it replaces is at :31-64]
     """
-    K = _k.gram(kernel, params, x_train, method=dist_method)
-    res = _chol.safe_cholesky(K, initial_jitter=noise_variance)
-    L = res.factor
-    alpha = _chol.cholesky_solve(L, y_train)
+    cfg = _solve_cfg(cfg)
+    if noise_variance is None:
+        noise_variance = cfg.noise_variance
+    with jax.named_scope("gp.gram"):
+        K = _k.gram(kernel, params, x_train, method=dist_method)
+    with jax.named_scope("gp.factorize"):
+        res = _chol.safe_cholesky(
+            K,
+            initial_jitter=noise_variance,
+            jitter_growth=cfg.jitter_growth,
+            max_attempts=cfg.max_chol_attempts,
+        )
+        L = res.factor
+    with jax.named_scope("gp.solve"):
+        alpha = _chol.cholesky_solve(L, y_train)
     n = x_train.shape[0]
-    return (
-        -0.5 * jnp.dot(y_train, alpha)
-        - jnp.sum(jnp.log(jnp.diagonal(L)))
-        - 0.5 * n * math.log(2.0 * math.pi)
-    )
+    with jax.named_scope("gp.lml"):
+        return (
+            -0.5 * jnp.dot(y_train, alpha)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * n * math.log(2.0 * math.pi)
+        )
 
 
 def sample_prior(
@@ -156,14 +192,17 @@ def sample_posterior(
     key: jax.Array,
     *,
     num_functions: int = 10,
-    jitter: float = 1e-6,
+    jitter: Optional[float] = None,
     dist_method: str = "dot",
+    cfg: Optional[_config.SolveConfig] = None,
 ) -> jnp.ndarray:
     """Joint posterior samples at the test points.
 
     chol(K_ss + jitter I - v^T v) [ref: GP_regression.py:154-155; the 1e-6
     jitter is the reference's constant].
     """
+    if jitter is None:
+        jitter = _solve_cfg(cfg).sampling_jitter
     K_ss = _k.gram(kernel, params, x_test, method=dist_method)
     # HIGHEST: bf16-default v^T v error would swamp the 1e-6 sampling jitter
     # and force huge jitter escalation in the cov factorization.
@@ -199,11 +238,12 @@ def posterior_cg(
     y_train: jnp.ndarray,
     x_test: jnp.ndarray,
     *,
-    noise_variance: float = 5e-4,
-    tol: float = 1e-6,
-    max_iters: int = 1000,
+    noise_variance: Optional[float] = None,
+    tol: Optional[float] = None,
+    max_iters: Optional[int] = None,
     test_chunk: int = 512,
     use_pallas: Optional[bool] = None,
+    cfg: Optional[_config.SolveConfig] = None,
 ) -> CGPosterior:
     """Matrix-free exact-GP posterior (mean AND variance) at large n.
 
@@ -225,6 +265,13 @@ def posterior_cg(
     (BASELINE.md row 2). For the distributed version see
     ``parallel.cg.make_posterior_cg``.
     """
+    cfg = _solve_cfg(cfg)
+    if noise_variance is None:
+        noise_variance = cfg.noise_variance
+    if tol is None:
+        tol = cfg.cg_tol
+    if max_iters is None:
+        max_iters = cfg.cg_max_iters
     x_train = jnp.atleast_2d(x_train)
     x_test = jnp.atleast_2d(x_test)
     n = x_train.shape[0]

@@ -16,8 +16,10 @@ Runs under jit: fixed-shape ``lax.while_loop`` with a residual-norm stop.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+import functools
+from typing import Any, Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -95,3 +97,64 @@ def cg_solve(
         resnorm=jnp.sqrt(jnp.max(dot(r, r))),
     )
     return lax.while_loop(cond, body, init)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def cg_solve_grad(
+    matvec_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    tol: float,
+    max_iters: int,
+    params: Any,
+    b: jnp.ndarray,
+    precond_diag: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Differentiable matrix-free solve x = A(params)^{-1} b for SPD A.
+
+    ``matvec_fn(params, v)`` must apply the FULL operator (kernel matvec
+    plus any noise/jitter shift). Reverse-mode goes through the implicit
+    function theorem instead of unrolling the CG ``while_loop`` (which JAX
+    cannot reverse-differentiate):
+
+        dL/db      = A^{-1} x_bar            (one more CG solve)
+        dL/dparams = -w^T (dA/dparams) x,  w = A^{-1} x_bar
+
+    where the params pullback is one VJP of ``matvec_fn`` at the solved x —
+    with the Pallas ``gram_matvec`` that is itself a fused tile sweep, so
+    large-n LML-style objectives optimise without materialising K anywhere
+    in either pass (the GPyTorch/"CG for kernel machines" trick, PAPERS.md).
+
+    ``precond_diag`` only affects convergence speed, never the solution, so
+    its gradient is defined as zero.
+    """
+    state = cg_solve(
+        lambda v: matvec_fn(params, v),
+        b,
+        tol=tol,
+        max_iters=max_iters,
+        precond_diag=precond_diag,
+    )
+    return state.x
+
+
+def _cg_solve_grad_fwd(matvec_fn, tol, max_iters, params, b, precond_diag=None):
+    x = cg_solve_grad(matvec_fn, tol, max_iters, params, b, precond_diag)
+    return x, (params, x, precond_diag)
+
+
+def _cg_solve_grad_bwd(matvec_fn, tol, max_iters, res, ct):
+    params, x, precond_diag = res
+    w = cg_solve(
+        lambda v: matvec_fn(params, v),
+        ct,
+        tol=tol,
+        max_iters=max_iters,
+        precond_diag=precond_diag,
+    ).x
+    # params pullback: dL/dp = -<w, (dA/dp) x> via one VJP of the matvec
+    _, vjp = jax.vjp(lambda p: matvec_fn(p, x), params)
+    (d_params,) = vjp(-w)
+    d_pre = None if precond_diag is None else jnp.zeros_like(precond_diag)
+    return d_params, w, d_pre
+
+
+cg_solve_grad.defvjp(_cg_solve_grad_fwd, _cg_solve_grad_bwd)

@@ -82,7 +82,7 @@ def _tile_sqdist(a, b):
         a,
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=a.dtype,
         precision=lax.Precision.HIGHEST,
     )
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
@@ -177,32 +177,65 @@ def gram_matvec(
 
     ``v``: (m,) or (m, r) — r right-hand sides ride the same K tiles.
     x2=None means same-set incl. White's diagonal.
+
+    Differentiable: gradients w.r.t. ``params``, ``x1``, ``x2`` and ``v``
+    flow through a custom VJP whose backward pass is itself a fused Pallas
+    sweep (two tile passes re-evaluating the kernel + per-tile ``jax.vjp``
+    into the hyperparameters, plus one transposed matvec for d_v) — K is
+    never materialised in reverse mode either. White noise is split out of
+    the Pallas core and added as ``white * v`` in plain jnp, so its gradient
+    composes through ordinary autodiff.
     """
     if not _k.is_stationary(kernel):
         raise ValueError("pallas gram_matvec supports stationary kernels only")
     same = x2 is None
-    if same:
-        x2 = x1
     vec_in = v.ndim == 1
     if vec_in:
         v = v[:, None]
+
+    white_var = None
+    if same:
+        k_nw, p_nw, white_var = _k.split_white(kernel, params)
+        if k_nw is None:  # pure-White kernel: diagonal matvec
+            out = white_var * v
+            return out[:, 0] if vec_in else out
+        out = _matvec_core(
+            k_nw, int(tile_m), int(tile_n), _auto_interpret(interpret),
+            jnp.dtype(dtype).name, p_nw, x1, x1, v,
+        )
+        if white_var is not None:
+            out = out + white_var * v.astype(out.dtype)
+    else:
+        out = _matvec_core(
+            kernel, int(tile_m), int(tile_n), _auto_interpret(interpret),
+            jnp.dtype(dtype).name, params, x1, x2, v,
+        )
+    return out[:, 0] if vec_in else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _matvec_core(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
+    """White-free K(x1,x2) @ v, (m, r) RHS. Statics lead so custom_vjp can
+    mark them nondiff (kernel is a hashable frozen dataclass)."""
+    return _matvec_fwd_impl(
+        kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v
+    )
+
+
+def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
+    dtype = jnp.dtype(dtype_name)
     r = v.shape[1]
     r_pad = max(8, _round_up(r, 8))
-
     body, white, params_vec, x1p, x2p, grid_info = _build_common(
-        kernel, params, x1, x2, same, tile_m, tile_n, dtype
+        kernel, params, x1, x2, False, tile_m, tile_n, dtype
     )
     n, m, n_pad, m_pad, d_pad = grid_info
     vp = jnp.pad(v.astype(dtype), ((0, m_pad - m), (0, r_pad - r)))
     grid = (_cdiv(n_pad, tile_m), _cdiv(m_pad, tile_n))
 
     def kern(params_ref, x1_ref, x2_ref, v_ref, out_ref):
-        i, j = pl.program_id(0), pl.program_id(1)
+        j = pl.program_id(1)
         tile = body(params_ref, x1_ref[:], x2_ref[:])
-        if white is not None:
-            rows = i * tile_m + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
-            cols = j * tile_n + lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
-            tile = tile + jnp.where(rows == cols, params_ref[white], 0.0)
         part = jnp.dot(
             tile,
             v_ref[:],
@@ -231,15 +264,148 @@ def gram_matvec(
         out_specs=pl.BlockSpec(
             (tile_m, r_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        interpret=_auto_interpret(interpret),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * m_pad * (d_pad + r_pad) + 8 * n_pad * m_pad,
             bytes_accessed=(n_pad + m_pad) * d_pad * 4 + m_pad * r_pad * 4,
             transcendentals=n_pad * m_pad,
         ),
     )(params_vec, x1p, x2p, vp)
-    out = out[:n, :r]
-    return out[:, 0] if vec_in else out
+    return out[:n, :r]
+
+
+def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
+    out = _matvec_fwd_impl(
+        kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v
+    )
+    return out, (params, x1, x2, v)
+
+
+def _matvec_core_bwd(kernel, tile_m, tile_n, interpret, dtype_name, res, ct):
+    params, x1, x2, v = res
+    # d_v = K(x2, x1) @ ct — stationary kernels are symmetric in their
+    # arguments, so the transposed matvec is the same program swapped.
+    d_v = _matvec_fwd_impl(
+        kernel, tile_m, tile_n, interpret, dtype_name, params, x2, x1, ct
+    ).astype(v.dtype)
+    # d_params and d_x1 from one tile sweep; d_x2 by the symmetry
+    # <ct, K(x1,x2) v> = <v, K(x2,x1) ct> (params cotangent identical, so
+    # the second sweep's is discarded).
+    d_params, d_x1 = _matvec_bwd_sweep(
+        kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v, ct
+    )
+    _, d_x2 = _matvec_bwd_sweep(
+        kernel, tile_m, tile_n, interpret, dtype_name, params, x2, x1, ct, v
+    )
+    if x1.ndim == 1:
+        d_x1 = d_x1[:, 0]
+    if x2.ndim == 1:
+        d_x2 = d_x2[:, 0]
+    return d_params, d_x1.astype(x1.dtype), d_x2.astype(x2.dtype), d_v
+
+
+_matvec_core.defvjp(_matvec_core_fwd, _matvec_core_bwd)
+
+
+def _matvec_bwd_sweep(
+    kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v, ct
+):
+    """One backward tile sweep: for L = <ct, K(x1,x2) v>, returns
+    (dL/dparams pytree, dL/dx1 (n, d)). Per tile: dK = ct_i v_j^T (MXU),
+    then ``jax.vjp`` through the on-chip tile evaluation pulls dK back to
+    the flattened hyperparameter vector and the x1 tile. Accumulation
+    orders are grid-consecutive (params: every step; d_x1 row i: over the
+    fast j axis), which Pallas TPU's sequential grid guarantees correct."""
+    dtype = jnp.dtype(dtype_name)
+    r = v.shape[1]
+    r_pad = max(8, _round_up(r, 8))
+    body, white, params_vec, x1p, x2p, grid_info = _build_common(
+        kernel, params, x1, x2, False, tile_m, tile_n, dtype
+    )
+    del body, white
+    n, m, n_pad, m_pad, d_pad = grid_info
+    vp = jnp.pad(v.astype(dtype), ((0, m_pad - m), (0, r_pad - r)))
+    ctp = jnp.pad(ct.astype(dtype), ((0, n_pad - n), (0, r_pad - r)))
+    grid = (_cdiv(n_pad, tile_m), _cdiv(m_pad, tile_n))
+
+    k_nw, p_nw = kernel, params
+    leaves, treedef = jax.tree_util.tree_flatten(p_nw)
+    n_leaves = len(leaves)
+    lane_pad = _round_up(max(n_leaves, 1), LANE)
+    want_l2 = _k.needs_l2(k_nw)
+
+    def tile_f(leaf_list, a, b):
+        ps = jax.tree_util.tree_unflatten(treedef, leaf_list)
+        sq = _tile_sqdist(a, b)
+        l2 = jnp.sqrt(sq) if want_l2 else None
+        return _k.eval_from_distances(k_nw, ps, sq, l2)
+
+    def kern(params_ref, x1_ref, x2_ref, v_ref, ct_ref, dp_ref, dx1_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        a, b = x1_ref[:], x2_ref[:]
+        dK = jnp.dot(
+            ct_ref[:],
+            v_ref[:].T,
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        leaf_list = [params_ref[k] for k in range(n_leaves)]
+        _, vjp = jax.vjp(tile_f, leaf_list, a, b)
+        dleaves, da, _db = vjp(dK)
+        dp = jnp.zeros((1, lane_pad), jnp.float32)
+        for k in range(n_leaves):
+            dp = dp.at[0, k].set(dleaves[k].astype(jnp.float32))
+
+        first = (i == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            dp_ref[:] = dp
+
+        @pl.when(~first)
+        def _():
+            dp_ref[:] = dp_ref[:] + dp
+
+        @pl.when(j == 0)
+        def _():
+            dx1_ref[:] = da.astype(dx1_ref.dtype)
+
+        @pl.when(j > 0)
+        def _():
+            dx1_ref[:] = dx1_ref[:] + da.astype(dx1_ref.dtype)
+
+    dp_vec, dx1 = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, lane_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, d_pad), dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, r_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, r_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, lane_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_pad * m_pad * (d_pad + r_pad),
+            bytes_accessed=(n_pad + m_pad) * (d_pad + r_pad) * 4,
+            transcendentals=2 * n_pad * m_pad,
+        ),
+    )(params_vec, x1p, x2p, vp, ctp)
+
+    d_leaves = [
+        dp_vec[0, k].astype(jnp.result_type(leaves[k])) for k in range(n_leaves)
+    ]
+    d_params = jax.tree_util.tree_unflatten(treedef, d_leaves)
+    d = _k._dist._as_2d(x1).shape[1]
+    return d_params, dx1[:n, :d]
 
 
 def _build_common(kernel, params, x1, x2, same, tile_m, tile_n, dtype):

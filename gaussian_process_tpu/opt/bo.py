@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.stats import norm as _norm
 
+from gaussian_process_tpu import config as _config
 from gaussian_process_tpu.gp import regression as _reg
 from gaussian_process_tpu.ops import kernels as _k
 
@@ -105,17 +106,18 @@ def tune_bayesian_opt(
     initial_points: np.ndarray,
     bounds: Tuple[np.ndarray, np.ndarray],
     *,
-    n_iterations: int = 3,
-    n_candidates: int = 100,
-    acquisition: str = "PI",
+    n_iterations: Optional[int] = None,
+    n_candidates: Optional[int] = None,
+    acquisition: Optional[str] = None,
     surrogate_kernel: Optional[_k.Kernel] = None,
     surrogate_params=None,
     surrogate_params_fn: Optional[Callable[[np.ndarray], _k.Params]] = None,
-    surrogate_noise: float = 1e-4,
-    ucb_kappa: float = 0.001,
-    seed: int = 0,
+    surrogate_noise: Optional[float] = None,
+    ucb_kappa: Optional[float] = None,
+    seed: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
+    cfg: Optional[_config.BOConfig] = None,
 ) -> BOResult:
     """Maximise a black-box ``objective`` (e.g. the LML as a function of a
     hyperparameter vector) over a box.
@@ -135,6 +137,20 @@ def tune_bayesian_opt(
     re-evaluating the (expensive) objective history.
     """
     from gaussian_process_tpu.utils import checkpoint as _ckpt
+
+    base = _config.DEFAULT_BO if cfg is None else cfg
+    if n_iterations is None:
+        n_iterations = base.n_iterations
+    if n_candidates is None:
+        n_candidates = base.n_candidates
+    if acquisition is None:
+        acquisition = base.acquisition
+    if surrogate_noise is None:
+        surrogate_noise = base.surrogate_noise
+    if ucb_kappa is None:
+        ucb_kappa = base.ucb_kappa
+    if seed is None:
+        seed = base.seed
 
     key = jax.random.key(seed)
     pts = np.atleast_2d(np.asarray(initial_points, dtype=np.float64))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
+from gaussian_process_tpu import config as _config
 from gaussian_process_tpu.gp import regression as _reg
 from gaussian_process_tpu.ops import kernels as _k
 
@@ -51,15 +52,20 @@ def tune_gradient_ascent(
     y_train: jnp.ndarray,
     *,
     noise_variance: float = 5e-4,
-    learning_rate: float = 0.01,
-    tol: float = 1e-3,
-    max_iters: int = 10000,
-    optimizer: str = "sgd",
+    learning_rate: Optional[float] = None,
+    tol: Optional[float] = None,
+    max_iters: Optional[int] = None,
+    optimizer: Optional[str] = None,
     trainable: Optional[Any] = None,
     transform: str = "none",
     dist_method: str = "dot",
+    cfg: Optional[_config.GradientAscentConfig] = None,
 ) -> GradientResult:
     """Maximise LML over ``params`` with a fully-compiled ascent loop.
+
+    ``cfg`` (config.GradientAscentConfig) supplies learning_rate / tol /
+    max_iters / optimizer defaults (the reference's constants); explicit
+    arguments win.
 
     ``trainable``: pytree of bools matching ``params`` — frozen leaves get
     zero gradient (the reference fixes sigma and trains only the lengthscale
@@ -67,6 +73,15 @@ def tune_gradient_ascent(
     ``transform="log"``: optimise log-params for positivity (production);
     ``"none"`` reproduces the reference's raw-space ascent.
     """
+    base = _config.DEFAULT_GA if cfg is None else cfg
+    if learning_rate is None:
+        learning_rate = base.learning_rate
+    if tol is None:
+        tol = base.tol
+    if max_iters is None:
+        max_iters = base.max_iters
+    if optimizer is None:
+        optimizer = base.optimizer
     if trainable is None:
         mask = jax.tree_util.tree_map(lambda _: True, params)
     else:

@@ -32,6 +32,7 @@ def make_posterior_mean_cg(
     max_iters: int = 1000,
     dist_method: str = "dot",
     block_fn=None,
+    n_true: Optional[int] = None,
 ):
     """Build a jitted distributed solver ``(params, x, y, x_test) ->
     (mean, alpha, iters, resnorm)``.
@@ -39,11 +40,24 @@ def make_posterior_mean_cg(
     Hyperparameters ``params`` are a traced argument, so one compiled program
     serves a whole hyperparameter search; repeat calls hit the jit cache
     (unlike re-closing over params each call, which re-traces every time).
+
+    ``n_true``: when the inputs were padded to divide the mesh axis
+    (mesh.pad_to_multiple), masking keeps the padded coordinates exactly
+    inert — zero RHS entries plus a masked matvec mean they never enter the
+    Krylov space.
     """
 
     def fn(params, x_local, y_local, x_test_rep):
         k_nw, p_nw, white_var = _k.split_white(kernel, params)
         diag_shift = noise_variance + (white_var if white_var is not None else 0.0)
+        m_local = x_local.shape[0]
+        me = lax.axis_index(axis)
+        n_pad_total = m_local * lax.axis_size(axis)
+        if n_true is not None and n_true != n_pad_total:
+            valid = (me * m_local + jnp.arange(m_local)) < n_true
+            y_local = jnp.where(valid, y_local, 0.0)
+        else:
+            valid = None
         if block_fn is None:
             def _block(xl, xb, vb):
                 return _k.gram(k_nw, p_nw, xl, xb, method=dist_method) @ vb
@@ -63,7 +77,13 @@ def make_posterior_mean_cg(
 
             acc0 = jnp.zeros_like(v_local)
             _, _, acc = lax.fori_loop(0, p, body, (x_local, v_local, acc0))
-            return acc + diag_shift * v_local
+            out = acc + diag_shift * v_local
+            if valid is not None:
+                # padded coordinates stay out of the Krylov space
+                out = jnp.where(valid, out, 0.0) if out.ndim == 1 else jnp.where(
+                    valid[:, None], out, 0.0
+                )
+            return out
 
         pdot = lambda u, v: lax.psum(jnp.sum(u * v, axis=0), axis)
         prior_diag = _k.gram_diag(k_nw, p_nw, x_local) + diag_shift
@@ -111,7 +131,16 @@ def distributed_posterior_mean_cg(
     (mean (replicated), alpha (sharded), iters, resnorm). For repeated solves
     (benchmarks, hyperparameter sweeps) build the solver once with
     :func:`make_posterior_mean_cg` to reuse the compiled program.
+
+    Accepts arbitrary n: inputs are padded to a multiple of the mesh axis
+    and the padding masked out inside the SPMD program.
     """
+    from gaussian_process_tpu.parallel import mesh as _mesh
+
+    p = mesh.shape[axis]
+    n = x.shape[0]
+    x_p, _ = _mesh.pad_to_multiple(x, p)
+    y_p, _ = _mesh.pad_to_multiple(y, p)
     solver = make_posterior_mean_cg(
         kernel,
         mesh=mesh,
@@ -121,5 +150,6 @@ def distributed_posterior_mean_cg(
         max_iters=max_iters,
         dist_method=dist_method,
         block_fn=block_fn,
+        n_true=None if x_p.shape[0] == n else n,
     )
-    return solver(params, x, y, x_test)
+    return solver(params, x_p, y_p, x_test)

@@ -198,6 +198,7 @@ def make_distributed_posterior(
     axis: str = "data",
     noise_variance: float = 5e-4,
     dist_method: str = "dot",
+    n_true: Optional[int] = None,
 ):
     """Build a jitted fully-distributed exact posterior (R&W Alg. 2.1).
 
@@ -207,9 +208,14 @@ def make_distributed_posterior(
     block-rows (C13) -> panel Cholesky -> block solves -> predictive
     mean/variance and the corrected LML [ref: tune_hyperparms_regression.py:292-313].
 
-    n_train must divide the mesh axis size (see mesh.pad_to_multiple for the
-    padding helper). Unlike the single-chip path there is no jitter
-    escalation loop — ``noise_variance`` is the conditioner.
+    Sharded layouts need equal per-device blocks, so the *padded* length
+    must divide the mesh axis; arbitrary n is handled by padding
+    (mesh.pad_to_multiple — :func:`distributed_posterior` does it for you)
+    plus ``n_true``: padded rows/columns of K are masked to an identity
+    block and padded y entries to zero, which makes the padding exactly
+    inert (alpha = 0, log det contribution 0) rather than approximately so.
+    Unlike the single-chip path there is no jitter escalation loop —
+    ``noise_variance`` is the conditioner.
     """
 
     def fn(params, x_local, y_local, x_test):
@@ -218,32 +224,55 @@ def make_distributed_posterior(
         k_nw, p_nw, white_var = _k.split_white(kernel, params)
         shift = noise_variance + (white_var if white_var is not None else 0.0)
 
-        x_full = lax.all_gather(x_local, axis, tiled=True)
-        A_local = _local_block_row(
-            k_nw, p_nw, x_local, x_full, me * m, shift, dist_method
-        )
-        L_local = _chol_panels_local(A_local, axis)
+        with jax.named_scope("dist.gram_blockrow"):
+            x_full = lax.all_gather(x_local, axis, tiled=True)
+            A_local = _local_block_row(
+                k_nw, p_nw, x_local, x_full, me * m, shift, dist_method
+            )
+        n_pad_total = m * lax.axis_size(axis)
+        if n_true is not None and n_true != n_pad_total:
+            with jax.named_scope("dist.mask_padding"):
+                grow = me * m + lax.broadcasted_iota(
+                    jnp.int32, (m, n_pad_total), 0
+                )
+                gcol = lax.broadcasted_iota(jnp.int32, (m, n_pad_total), 1)
+                valid = (grow < n_true) & (gcol < n_true)
+                # identity on the padded diagonal keeps the factorization
+                # well-posed; padded alpha comes out exactly 0
+                A_local = jnp.where(
+                    valid, A_local, jnp.where(grow == gcol, 1.0, 0.0)
+                )
+                y_local = jnp.where(grow[:, 0] < n_true, y_local, 0.0)
+        with jax.named_scope("dist.panel_cholesky"):
+            L_local = _chol_panels_local(A_local, axis)
 
-        z = _forward_solve_local(L_local, y_local[:, None], axis)  # (n, 1)
-        alpha = _backward_solve_local(L_local, z, axis)[:, 0]  # (n,) replicated
-        alpha_local = lax.dynamic_slice(alpha, (_i32(me * m),), (m,))
+        with jax.named_scope("dist.solve"):
+            z = _forward_solve_local(L_local, y_local[:, None], axis)  # (n, 1)
+            alpha = _backward_solve_local(L_local, z, axis)[:, 0]  # replicated
+            alpha_local = lax.dynamic_slice(alpha, (_i32(me * m),), (m,))
 
-        # predictive mean: mu* = K_s^T alpha, reduced over shards
-        Ks_local = _k.gram(kernel, params, x_test, x_local, method=dist_method)
-        mean = lax.psum(_mm(Ks_local, alpha_local[:, None])[:, 0], axis)
+        with jax.named_scope("dist.predict"):
+            # predictive mean: mu* = K_s^T alpha, reduced over shards
+            Ks_local = _k.gram(kernel, params, x_test, x_local, method=dist_method)
+            mean = lax.psum(_mm(Ks_local, alpha_local[:, None])[:, 0], axis)
 
-        # predictive variance: v = L \ K_s (block forward solve, t RHS)
-        B_local = _k.gram(kernel, params, x_local, x_test, method=dist_method)
-        v = _forward_solve_local(L_local, B_local, axis)  # (n, t) replicated
-        kss = _k.gram_diag(kernel, params, x_test)
-        var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
+            # predictive variance: v = L \ K_s (block forward solve, t RHS)
+            B_local = _k.gram(kernel, params, x_local, x_test, method=dist_method)
+            if n_true is not None and n_true != n_pad_total:
+                lrow = me * m + jnp.arange(m)
+                B_local = jnp.where((lrow < n_true)[:, None], B_local, 0.0)
+            v = _forward_solve_local(L_local, B_local, axis)  # (n, t) replicated
+            kss = _k.gram_diag(kernel, params, x_test)
+            var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
 
-        # LML: -1/2 y^T alpha - sum log diag L - n/2 log 2pi
-        diag_blk = lax.dynamic_slice(L_local, (_i32(0), _i32(me * m)), (m, m))
-        logdet_half = lax.psum(jnp.sum(jnp.log(jnp.diagonal(diag_blk))), axis)
-        yta = lax.psum(jnp.dot(y_local, alpha_local), axis)
-        n = m * lax.axis_size(axis)
-        lml = -0.5 * yta - logdet_half - 0.5 * n * math.log(2.0 * math.pi)
+        with jax.named_scope("dist.lml"):
+            # LML: -1/2 y^T alpha - sum log diag L - n/2 log 2pi
+            # (padded diag entries are 1 -> log 0; padded y/alpha are 0)
+            diag_blk = lax.dynamic_slice(L_local, (_i32(0), _i32(me * m)), (m, m))
+            logdet_half = lax.psum(jnp.sum(jnp.log(jnp.diagonal(diag_blk))), axis)
+            yta = lax.psum(jnp.dot(y_local, alpha_local), axis)
+            n = n_pad_total if n_true is None else n_true
+            lml = -0.5 * yta - logdet_half - 0.5 * n * math.log(2.0 * math.pi)
 
         return mean, var, lml, alpha_local
 
@@ -269,12 +298,24 @@ def distributed_posterior(
     noise_variance: float = 5e-4,
     dist_method: str = "dot",
 ):
-    """One-shot convenience over :func:`make_distributed_posterior`."""
+    """One-shot convenience over :func:`make_distributed_posterior`.
+
+    Accepts arbitrary n: inputs are padded to a multiple of the mesh axis
+    (mesh.pad_to_multiple) and the padding is masked out inside the SPMD
+    program, so results match the unpadded single-chip computation."""
+    from gaussian_process_tpu.parallel import mesh as _mesh
+
+    p = mesh.shape[axis]
+    n = x.shape[0]
+    x_p, _ = _mesh.pad_to_multiple(x, p)
+    y_p, _ = _mesh.pad_to_multiple(y, p)
     solver = make_distributed_posterior(
         kernel,
         mesh=mesh,
         axis=axis,
         noise_variance=noise_variance,
         dist_method=dist_method,
+        n_true=None if x_p.shape[0] == n else n,
     )
-    return solver(params, x, y, x_test)
+    mean, var, lml, alpha_local = solver(params, x_p, y_p, x_test)
+    return mean, var, lml, alpha_local

@@ -26,10 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     *,
     data: Optional[int] = None,
-    restart: int = 1,
+    restart: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    cfg=None,
 ) -> Mesh:
-    """Build a (restart, data) mesh. ``data=None`` uses all remaining devices."""
+    """Build a (restart, data) mesh. ``data=None`` uses all remaining devices.
+
+    ``cfg`` (config.MeshConfig) supplies axis sizes; explicit arguments win.
+    """
+    if cfg is not None:
+        if data is None:
+            data = cfg.data_axis_size
+        if restart is None:
+            restart = cfg.restart_axis_size
+    if restart is None:
+        restart = 1
     if devices is None:
         devices = jax.devices()
     n = len(devices)

@@ -136,3 +136,28 @@ def plot_bo_progress(
     ax.set_title(title)
     ax.legend(loc="best")
     return _save(fig, path)
+
+
+def plot_acquisition_comparison(
+    curves, path: str, *, best_line: Optional[float] = None,
+    title: str = "BO acquisition comparison",
+) -> str:
+    """Best-so-far curves for several acquisitions on one axis — the
+    reference's four-acquisition comparison figure [ref: CO2_example.py:
+    373-379], except the four curves here really are PI/EI/UCB/TS (the
+    reference's dispatcher always falls through to PI — quirk Q5).
+
+    ``curves``: {label: sequence of best-so-far objective values}.
+    """
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    for label, h in curves.items():
+        h = np.asarray(h, dtype=float)
+        ax.plot(np.arange(1, len(h) + 1), h, "o-", label=label, ms=3)
+    if best_line is not None:
+        ax.axhline(best_line, color="k", ls="--", lw=1, label="book theta")
+    ax.set_xlabel("objective evaluation")
+    ax.set_ylabel("best log marginal likelihood so far")
+    ax.set_title(title)
+    ax.legend(loc="best")
+    return _save(fig, path)

@@ -63,6 +63,60 @@ def time_fn(
     return {"mean_s": mean, "min_s": min(times), "std_s": var ** 0.5, "iters": n}
 
 
+def device_time_chained(
+    step_fn: Callable[[Any], Any],
+    init: Any,
+    *,
+    repeats: int = 8,
+    readout: Optional[Callable[[Any], Any]] = None,
+) -> Dict[str, float]:
+    """Honest per-iteration device time via the *slope* method.
+
+    Motivation (measured on the axon-tunnelled v5e): a single
+    ``device_get``-bracketed call carries ~25 ms of tunnel RTT and
+    ``block_until_ready`` can resolve before the computation finishes, so
+    one-shot wall-clocks overstate small kernels by orders of magnitude.
+    Here ``step_fn`` (carry -> carry, data-dependent so XLA cannot reorder
+    or elide iterations) is chained R and 2R times inside two jitted
+    ``fori_loop`` programs; per-iteration time = (T(2R) - T(R)) / R, which
+    cancels every fixed cost — RTT, dispatch, readback — exactly.
+
+    ``readout``: maps the final carry to a small host value (default: the
+    carry itself; keep it tiny — its transfer rides inside both timings and
+    cancels, but compile time doesn't).
+    """
+    import jax
+    from jax import lax
+
+    if readout is None:
+        readout = lambda c: c
+
+    def make(r: int):
+        @jax.jit
+        def rep(c):
+            return readout(lax.fori_loop(0, r, lambda i, c: step_fn(c), c))
+
+        return rep
+
+    f1, f2 = make(repeats), make(2 * repeats)
+    jax.device_get(f1(init))  # compile + warm both programs
+    jax.device_get(f2(init))
+    t1 = time.perf_counter()
+    jax.device_get(f1(init))
+    t1 = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    jax.device_get(f2(init))
+    t2 = time.perf_counter() - t2
+    per_iter = max((t2 - t1) / repeats, 1e-9)
+    return {
+        "device_s": per_iter,
+        "t_r_s": t1,
+        "t_2r_s": t2,
+        "repeats": repeats,
+        "fixed_overhead_s": max(t1 - per_iter * repeats, 0.0),
+    }
+
+
 class Stopwatch:
     """Accumulating named phase timer for host-side orchestration code."""
 

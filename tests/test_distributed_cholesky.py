@@ -94,3 +94,43 @@ class TestDistributedPosterior:
         np.testing.assert_allclose(np.asarray(mean), np.asarray(post.mean), rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(var), np.asarray(post.var), rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(float(lml), float(post.lml), rtol=1e-9)
+
+
+class TestArbitraryN:
+    """Padded+masked distributed solves must match single-chip at any n
+    (VERDICT round 1, item 5: pad_to_multiple wired into the entry points)."""
+
+    def test_distributed_posterior_n63(self, rng):
+        from gaussian_process_tpu import gp
+
+        mesh = parallel.make_mesh(restart=1, data=4, devices=jax.devices()[:4])
+        n, t = 63, 17
+        x = jnp.asarray(rng.uniform(-5, 5, (n, 2)))
+        y = jnp.asarray(rng.standard_normal(n))
+        xt = jnp.asarray(rng.uniform(-5, 5, (t, 2)))
+        k = ops.RBF()
+        p = k.init_params()
+        mean, var, lml, alpha_local = parallel.distributed_posterior(
+            k, p, x, y, xt, mesh=mesh, noise_variance=1e-2
+        )
+        ref = gp.posterior(k, p, x, y, xt, noise_variance=1e-2)
+        np.testing.assert_allclose(np.asarray(mean), ref.mean, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var), ref.var, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(lml), float(ref.lml), rtol=1e-9)
+
+    def test_distributed_cg_n63(self, rng):
+        from gaussian_process_tpu import gp
+
+        mesh = parallel.make_mesh(restart=1, data=4, devices=jax.devices()[:4])
+        n, t = 63, 9
+        x = jnp.asarray(rng.uniform(-5, 5, (n, 2)))
+        y = jnp.asarray(rng.standard_normal(n))
+        xt = jnp.asarray(rng.uniform(-5, 5, (t, 2)))
+        k = ops.RBF()
+        p = k.init_params()
+        mean, alpha, iters, resnorm = parallel.distributed_posterior_mean_cg(
+            k, p, x, y, xt, mesh=mesh, noise_variance=1e-2, tol=1e-12,
+            max_iters=500,
+        )
+        ref = gp.posterior(k, p, x, y, xt, noise_variance=1e-2)
+        np.testing.assert_allclose(np.asarray(mean), ref.mean, rtol=1e-6, atol=1e-9)
