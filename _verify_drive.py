@@ -39,6 +39,18 @@ cg_var_err = float(jnp.max(jnp.abs(cgp.var - exact.var)))
 print("posterior_cg vs chol:", cg_mean_err, cg_var_err, int(cgp.iters))
 assert cg_mean_err < 1e-2 and cg_var_err < 1e-2
 
+from gaussian_process_tpu import opt as _opt
+est = float(_opt.lml_estimate(ops.RBF(), ops.RBF().init_params(), xl, yl, jax.random.key(0),
+                              noise_variance=1e-2, num_probes=4, lanczos_iters=16, precond_rank=64))
+exact_lml = float(gp.log_marginal_likelihood(ops.RBF(), ops.RBF().init_params(), xl, yl, noise_variance=1e-2))
+print("matrix-free lml estimate:", round(est, 2), "exact:", round(exact_lml, 2))
+assert abs(est - exact_lml) < 0.05 * xl.shape[0]
+g_ls = jax.grad(lambda pp: _opt.lml_surrogate(ops.RBF(), pp, xl, yl, jax.random.key(1),
+                noise_variance=1e-2, num_probes=4, cg_max_iters=300, precond_rank=64))(
+    {"sigma": jnp.float32(1.0), "lengthscale": jnp.float32(1.0)})
+print("large-scale grad (pallas vjp):", {k: round(float(v), 3) for k, v in g_ls.items()})
+assert all(np.isfinite(float(v)) for v in g_ls.values())
+
 theta = jnp.asarray([66,67,2.4,90,1.3,.66,1.2,.78,.18,1.6,.19], jnp.float32)
 xc, yc, _co2_mean = datasets.mauna_loa()
 kc = ops.co2_kernel(); pc = ops.co2_params_from_vector(theta)

@@ -70,8 +70,9 @@ def main() -> None:
     kernel = ops.RBF()
     params = kernel.init_params()
 
-    solver = parallel.make_posterior_mean_cg(kernel, mesh=mesh, noise_variance=1e-2)
-    mean, alpha, iters, resnorm = solver(params, x, y, x_test)
+    # full posterior (mean AND variance) via ring-matvec block CG
+    solver = parallel.make_posterior_cg(kernel, mesh=mesh, noise_variance=1e-2)
+    mean, var, alpha, iters, resnorm = solver(params, x, y, x_test)
     stats = time_fn(lambda: solver(params, x, y, x_test)[0], warmup=1, iters=3)
 
     os.makedirs(args.out, exist_ok=True)
@@ -81,9 +82,11 @@ def main() -> None:
         n=n, d=args.d, devices=n_dev,
         cg_iters=int(iters), residual=float(resnorm),
         solve_ms=stats["min_s"] * 1e3,
+        mean_predictive_std=float(jnp.mean(jnp.sqrt(var))),
     )
     print(f"n={n}: CG converged in {int(iters)} iters "
-          f"(residual {float(resnorm):.2e}), solve {stats['min_s']*1e3:.1f} ms")
+          f"(residual {float(resnorm):.2e}), solve {stats['min_s']*1e3:.1f} ms, "
+          f"mean predictive std {float(jnp.mean(jnp.sqrt(var))):.4f}")
 
     # sanity: sharded mean matches trainings labels roughly at observed points
     err = float(jnp.mean(jnp.abs(mean - y[: args.n_test])))

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,30 @@ def main() -> None:
     pred = gp.predict_binary(kernel, params, state, Xtr, Xte)
     acc = float((np.asarray(pred.label) == y_test).mean())
 
+    # reference-metric reproduction (quirk Q2): prior sample on the
+    # reference's linspace grid with its accidental lengthscale = num_train
+    # [ref: GP_binary_classification.py:193,203-208], frozen-W solve, same
+    # batched prediction -> the reference's printed "classification right
+    # rate" [ref: :241], reported alongside true Newton's.
+    n_tr = Xtr.shape[0]
+    X_all = np.vstack([X_train, X_test])
+    grid = np.stack(
+        [np.linspace(X_all[:, 0].min(), X_all[:, 0].max(), n_tr),
+         np.linspace(X_all[:, 1].min(), X_all[:, 1].max(), n_tr)], axis=1
+    )
+    p_prior = {"sigma": jnp.asarray(1.0, jnp.float32),
+               "lengthscale": jnp.asarray(float(n_tr), jnp.float32)}
+    f_prior = gp.sample_prior(
+        kernel, p_prior, jnp.asarray(grid, jnp.float32),
+        jax.random.key(args.seed), num_functions=1,
+    )[:, 0]
+    state_ref = gp.fit_binary(
+        kernel, params, Xtr, ytr, f_init=f_prior, mode="reference",
+        max_iters=10000,
+    )
+    pred_ref = gp.predict_binary(kernel, params, state_ref, Xtr, Xte)
+    acc_ref = float((np.asarray(pred_ref.label) == y_test).mean())
+
     os.makedirs(args.out, exist_ok=True)
     with JsonlLogger(os.path.join(args.out, "run.jsonl")) as log:
         errors = np.asarray(state.error_trace)
@@ -57,6 +82,8 @@ def main() -> None:
             newton_iters=int(state.iters),
             converged=bool(state.converged),
             laplace_lml=float(state.lml),
+            reference_mode_accuracy=acc_ref,
+            reference_mode_iters=int(state_ref.iters),
         )
 
     plotting.plot_convergence(
@@ -69,9 +96,12 @@ def main() -> None:
         title=f"{args.dataset}: accuracy {acc:.2%}",
     )
 
-    # the reference's print [ref: GP_binary_classification.py:241]
-    print(f"classification right rate: {acc:.4f}")
-    print(f"Newton converged in {int(state.iters)} iterations (laplace LML {float(state.lml):.3f})")
+    # the reference's print [ref: GP_binary_classification.py:241] — both
+    # the corrected algorithm's metric and the reference-faithful one
+    print("mode             accuracy  iters")
+    print(f"true Newton      {acc:8.4f}  {int(state.iters):5d}")
+    print(f"reference (Q2)   {acc_ref:8.4f}  {int(state_ref.iters):5d}")
+    print(f"laplace LML (true Newton): {float(state.lml):.3f}")
     print(f"artifacts in {args.out}/")
 
 

@@ -48,6 +48,17 @@ def main() -> None:
     )
     acc = float((np.asarray(pred.label) == y_test).mean())
 
+    # reference-metric reproduction: the damped trainer2 the reference
+    # actually runs, quirks and all (Q4 sign, half-solve; SURVEY.md)
+    state_ref = gp.fit_multiclass(
+        kernel, params, Xtr, ytr, args.centers, mode="reference",
+        max_iters=3000,
+    )
+    pred_ref = gp.predict_multiclass(
+        kernel, params, state_ref, Xtr, ytr, Xte, args.centers
+    )
+    acc_ref = float((np.asarray(pred_ref.label) == y_test).mean())
+
     os.makedirs(args.out, exist_ok=True)
     with JsonlLogger(os.path.join(args.out, "run.jsonl")) as log:
         errors = np.asarray(state.error_trace)
@@ -57,6 +68,7 @@ def main() -> None:
             "multiclass_done",
             centers=args.centers,
             accuracy=acc,
+            reference_mode_accuracy=acc_ref,
             newton_iters=int(state.iters),
             converged=bool(state.converged),
         )
@@ -71,9 +83,11 @@ def main() -> None:
         title=f"blobs C={args.centers}: accuracy {acc:.2%}",
     )
 
-    # the reference's print [ref: GP_multi_classification.py:253]
-    print(f"prediction accuracy: {acc:.4f}")
-    print(f"Newton converged in {int(state.iters)} iterations")
+    # the reference's print [ref: GP_multi_classification.py:253] — both
+    # the corrected algorithm's metric and the reference-faithful one
+    print("mode               accuracy  iters")
+    print(f"true Newton (3.3)  {acc:8.4f}  {int(state.iters):5d}")
+    print(f"reference (Q4)     {acc_ref:8.4f}  {int(state_ref.iters):5d}")
     print(f"artifacts in {args.out}/")
 
 

@@ -60,6 +60,7 @@ def laplace_fit_multiclass(
     *,
     tol: float = None,
     max_iters: int = None,
+    mode: str = "newton",
     cfg: _config.NewtonConfig = None,
 ) -> MulticlassLaplaceState:
     """Newton to the softmax-Laplace mode. ``cfg`` (config.NewtonConfig)
@@ -68,6 +69,14 @@ def laplace_fit_multiclass(
     ``K``: (C, n, n) per-class prior blocks (the reference uses the same RBF
     block for every class [ref: GP_multi_classification.py:232-238]).
     ``y``: (C, n) one-hot targets [ref: :239-243, stride generalised].
+
+    ``mode="reference"`` reproduces the trainer the reference actually runs
+    (``model_training2`` [ref: GP_multi_classification.py:129-176]) —
+    including its sign quirk Q4 (``+ y + pi`` where Alg. 3.3 has y - pi),
+    the s = 3 ridge, the 1e-4 damping, and its *half*-solve update
+    ``f <- L^{-1} (...)`` [ref: :157-158] — so the reference's printed
+    accuracy [ref: :253] is reproducible alongside the corrected
+    algorithm's. Only the stride-60 hard-coding (Q3) is generalised to n.
     """
     if cfg is not None:
         if tol is None and cfg.tol is not None:
@@ -76,6 +85,12 @@ def laplace_fit_multiclass(
             max_iters = cfg.max_iters
     if max_iters is None:
         max_iters = 100
+    if mode == "reference":
+        return _laplace_fit_multiclass_reference(
+            K, y, tol=tol, max_iters=max_iters
+        )
+    if mode != "newton":
+        raise ValueError(f"unknown mode {mode!r} (expected 'newton' or 'reference')")
     C, n = y.shape
     if tol is None:
         tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
@@ -147,6 +162,86 @@ def laplace_fit_multiclass(
     )
 
 
+def _laplace_fit_multiclass_reference(
+    K: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    tol: float = None,
+    max_iters: int = None,
+    ridge: float = 3.0,
+    step_size: float = 1e-4,
+) -> MulticlassLaplaceState:
+    """The reference's damped trainer2, reproduced faithfully — see
+    :func:`laplace_fit_multiclass`. Dense (Cn, Cn) algebra like the
+    reference's [ref: GP_multi_classification.py:129-176]; fine at its
+    workload scale (blobs: Cn = 180)."""
+    if tol is None:
+        tol = 0.01  # [ref: GP_multi_classification.py:138]
+    if max_iters is None:
+        max_iters = 10000  # [ref: :146]
+    C, n = y.shape
+    N = C * n
+    dt = K.dtype
+
+    # stacked block-diagonal prior, class-major like the reference's
+    # scipy block_diag [ref: :232-238]
+    K_full = jnp.zeros((N, N), dt)
+    for c in range(C):
+        K_full = lax.dynamic_update_slice(K_full, K[c], (c * n, c * n))
+    yv = y.reshape(N)
+
+    eyeN = jnp.eye(N, dtype=dt)
+    L = lax.linalg.cholesky(ridge * eyeN + K_full)  # [ref: :148]
+    # the reference's L_inv.T @ L_inv = (s I + K)^{-1} [ref: :149,154]
+    A_inv = _chol.cholesky_solve(L, eyeN)
+
+    def w_full(piv):
+        # W = diag(pi) - PI PI^T with PI = row-stacked diag(pi_c) [ref: :150-152]
+        pi_cn = piv.reshape(C, n)
+        blocks = jnp.einsum("ci,di->cdi", pi_cn, pi_cn)  # (C, C, n)
+        PiPiT = jnp.zeros((N, N), dt)
+        idx = jnp.arange(n)
+        for c in range(C):
+            for d in range(C):
+                PiPiT = PiPiT.at[c * n + idx, d * n + idx].set(blocks[c, d])
+        return jnp.diag(piv) - PiPiT
+
+    trace0 = jnp.full((max_iters,), jnp.nan, dtype=dt)
+
+    def body(state):
+        i, f, _, trace, _ = state
+        piv = _softmax_over_classes(f.reshape(C, n)).reshape(N)
+        W = w_full(piv)
+        sec_deri = A_inv + W  # [ref: :154]
+        L_sd = lax.linalg.cholesky(ridge * eyeN + sec_deri)  # [ref: :155]
+        # quirk Q4 reproduced: "+ yv + piv" (Alg 3.3 has y - pi) and the
+        # HALF-solve f <- L_sd^{-1} (...) [ref: :157-158]
+        rhs = ((1.0 - step_size) * A_inv + W) @ f + yv + piv
+        f_new = _chol.tri_solve(L_sd, rhs)
+        err = jnp.linalg.norm(f_new - f)  # [ref: :159]
+        return i + 1, f_new, piv, trace.at[i].set(err), err
+
+    def cond(state):
+        i, _, _, _, err = state
+        return (i < max_iters) & (err > tol)
+
+    big = jnp.asarray(jnp.inf, dt)
+    f0 = jnp.zeros(N, dt)  # [ref: :142]
+    iters, f, piv, trace, err = lax.while_loop(
+        cond, body, (jnp.asarray(0), f0, jnp.zeros(N, dt), trace0, big)
+    )
+    # the reference returns pi evaluated at the PREVIOUS iterate (computed
+    # at the top of the final loop body) [ref: :149,176] — `piv` above
+    return MulticlassLaplaceState(
+        f_mode=f.reshape(C, n),
+        pi=piv.reshape(C, n),
+        lml=jnp.asarray(jnp.nan, dt),  # the reference computes no LML here
+        iters=iters,
+        converged=err <= tol,
+        error_trace=trace,
+    )
+
+
 class MulticlassPrediction(NamedTuple):
     mean: jnp.ndarray  # (C, m) latent class means
     prob: jnp.ndarray  # (C, m) softmax of the latent means
@@ -188,6 +283,7 @@ def fit_multiclass(
     tol: float = None,
     max_iters: int = None,
     dist_method: str = "dot",
+    mode: str = "newton",
     cfg: _config.NewtonConfig = None,
 ) -> MulticlassLaplaceState:
     """Shared-kernel convenience wrapper (the reference gives every class the
@@ -195,7 +291,9 @@ def fit_multiclass(
     Kc = _k.gram(kernel, params, x_train, method=dist_method)
     K = jnp.broadcast_to(Kc, (num_classes,) + Kc.shape)
     y = one_hot_targets(y_labels, num_classes).astype(Kc.dtype)
-    return laplace_fit_multiclass(K, y, tol=tol, max_iters=max_iters, cfg=cfg)
+    return laplace_fit_multiclass(
+        K, y, tol=tol, max_iters=max_iters, mode=mode, cfg=cfg
+    )
 
 
 def predict_multiclass(

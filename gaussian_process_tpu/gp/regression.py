@@ -91,18 +91,28 @@ def posterior(
         )
         L = res.factor
     with jax.named_scope("gp.solve"):
-        alpha = _chol.cholesky_solve(L, y_train)
+        # y rides the K_s forward solve: a single-RHS TRSM at n=8192 costs
+        # ~1.4 ms of pure latency on v5e while extra RHS in a batched solve
+        # are nearly free. With z = L^{-1}[y | K_s]:
+        #   mean = K_s^T alpha = v^T z_y,   y^T alpha = z_y^T z_y
+        z_all = _chol.tri_solve(
+            L, jnp.concatenate([y_train[:, None], K_s], axis=1)
+        )
+        z_y = z_all[:, 0]
+        v = z_all[:, 1:]
+        # alpha itself is only needed as an output (downstream predictions);
+        # one backward single-RHS TRSM
+        alpha = _chol.tri_solve(L, z_y, trans=True)
 
     with jax.named_scope("gp.predict"):
-        mean = jnp.dot(K_s.T, alpha, preferred_element_type=K_s.dtype)
-        v = _chol.tri_solve(L, K_s)
+        mean = jnp.dot(v.T, z_y, preferred_element_type=K_s.dtype)
         var = kss_diag - jnp.sum(v * v, axis=0)
         var = jnp.maximum(var, 0.0)
 
     n = x_train.shape[0]
     with jax.named_scope("gp.lml"):
         lml = (
-            -0.5 * jnp.dot(y_train, alpha)
+            -0.5 * jnp.dot(z_y, z_y)
             - jnp.sum(jnp.log(jnp.diagonal(L)))
             - 0.5 * n * math.log(2.0 * math.pi)
         )
@@ -243,6 +253,8 @@ def posterior_cg(
     max_iters: Optional[int] = None,
     test_chunk: int = 512,
     use_pallas: Optional[bool] = None,
+    preconditioner: str = "auto",
+    precond_rank: int = 512,
     cfg: Optional[_config.SolveConfig] = None,
 ) -> CGPosterior:
     """Matrix-free exact-GP posterior (mean AND variance) at large n.
@@ -259,6 +271,11 @@ def posterior_cg(
     which is the v = L \\ K_s variance of Alg. 2.1 [ref: GP_regression.py:
     144-147] with the triangular solve replaced by CG. alpha rides the
     first chunk's block solve as an extra RHS. Memory: O(n * test_chunk).
+
+    ``preconditioner``: "nystrom" (rank-``precond_rank`` landmark
+    preconditioner, linalg/nystrom.py — the large-n default: Jacobi CG
+    stalls at n ~ 100k where kappa ~ 1e6), "jacobi", "none", or "auto"
+    (nystrom above n = 4096, jacobi below).
 
     The reference has no large-n path at all (dense factorization only,
     [ref: GP_regression.py:138]); this is the n ~ 100k single-chip path
@@ -293,7 +310,23 @@ def posterior_cg(
         cross_chunk = lambda xc: _k.gram(k_nw, p_nw, x_train, xc)
 
     noisy_mv = lambda v: matvec(v) + shift * v
-    prior_diag = _k.gram_diag(k_nw, p_nw, x_train) + shift
+    if preconditioner == "auto":
+        preconditioner = "nystrom" if n > 4096 else "jacobi"
+    if preconditioner == "nystrom":
+        from gaussian_process_tpu.linalg import nystrom as _nys
+
+        pre = _nys.make_nystrom_preconditioner(
+            k_nw, p_nw, x_train, shift=shift, rank=precond_rank
+        )
+        precond_kwargs = {"precond_apply": pre.apply}
+    elif preconditioner == "jacobi":
+        precond_kwargs = {
+            "precond_diag": _k.gram_diag(k_nw, p_nw, x_train) + shift
+        }
+    elif preconditioner == "none":
+        precond_kwargs = {}
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
     # chunked test points; pad the last chunk to keep shapes static
     chunk = min(test_chunk, m)
@@ -315,7 +348,7 @@ def posterior_cg(
             rhs,
             tol=tol,
             max_iters=max_iters,
-            precond_diag=prior_diag,
+            **precond_kwargs,
         )
         U = state.x
         if c == 0:

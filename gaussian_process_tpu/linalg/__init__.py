@@ -7,7 +7,12 @@ from gaussian_process_tpu.linalg.cholesky import (
     logdet_from_chol,
     CholeskyResult,
 )
-from gaussian_process_tpu.linalg.cg import cg_solve, CGState
+from gaussian_process_tpu.linalg.cg import cg_solve, cg_solve_grad, CGState
+from gaussian_process_tpu.linalg.blocked import blocked_cholesky, blocked_tri_solve
+from gaussian_process_tpu.linalg.nystrom import (
+    NystromPreconditioner,
+    make_nystrom_preconditioner,
+)
 
 __all__ = [
     "safe_cholesky",
@@ -16,5 +21,10 @@ __all__ = [
     "logdet_from_chol",
     "CholeskyResult",
     "cg_solve",
+    "cg_solve_grad",
     "CGState",
+    "blocked_cholesky",
+    "blocked_tri_solve",
+    "NystromPreconditioner",
+    "make_nystrom_preconditioner",
 ]

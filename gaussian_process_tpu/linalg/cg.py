@@ -41,12 +41,15 @@ def cg_solve(
     tol: float = 1e-6,
     max_iters: int = 1000,
     precond_diag: Optional[jnp.ndarray] = None,
+    precond_apply: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     x0: Optional[jnp.ndarray] = None,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
 ) -> CGState:
     """Solve A x = b for SPD A given only ``matvec`` (x -> A x).
 
     ``precond_diag``: diag(A) for Jacobi preconditioning (pass None to skip).
+    ``precond_apply``: full preconditioner application r -> M^{-1} r (e.g.
+    :func:`nystrom.NystromPreconditioner.apply`); overrides precond_diag.
     ``dot``: inner product — override with a psum-reducing version when x/b
     are sharded across a mesh axis (parallel/cg.py does this).
     Works on single vectors or (n, k) blocks of RHS (all columns iterate
@@ -55,7 +58,9 @@ def cg_solve(
     if dot is None:
         dot = lambda u, v: jnp.sum(u * v, axis=0)
 
-    if precond_diag is not None:
+    if precond_apply is not None:
+        apply_M = precond_apply
+    elif precond_diag is not None:
         inv_diag = 1.0 / precond_diag
         if b.ndim > 1:
             inv_diag = inv_diag[:, None]

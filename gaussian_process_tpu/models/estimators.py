@@ -116,8 +116,34 @@ class GPRegressor:
             dist_method=self.dist_method,
         )
 
-    def predict(self, x_test: jnp.ndarray, *, return_std: bool = False):
-        post = self.posterior(x_test)
+    def posterior_cg(self, x_test: jnp.ndarray, **kwargs) -> gp.CGPosterior:
+        # Matrix-free posterior (mean + variance): the large-n path where K
+        # cannot be materialised (Pallas tile matvec + Nystrom-preconditioned
+        # block CG). See gp.posterior_cg for knobs.
+        self._check_fitted()
+        return gp.posterior_cg(
+            self.kernel,
+            self.params,
+            self.x_train,
+            self.y_train,
+            jnp.asarray(x_test),
+            noise_variance=self.noise_variance,
+            **kwargs,
+        )
+
+    def predict(
+        self, x_test: jnp.ndarray, *, return_std: bool = False,
+        solver: str = "auto",
+    ):
+        # solver: "cholesky" (exact dense), "cg" (matrix-free), or "auto":
+        # CG once n_train exceeds 32768, where a dense factor stops being
+        # the right tool on a single chip.
+        if solver == "auto":
+            solver = "cg" if self.x_train.shape[0] > 32768 else "cholesky"
+        if solver == "cg":
+            post = self.posterior_cg(x_test)
+        else:
+            post = self.posterior(x_test)
         return (post.mean, post.std) if return_std else post.mean
 
     def sample(

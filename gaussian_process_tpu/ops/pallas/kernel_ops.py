@@ -352,9 +352,11 @@ def _matvec_bwd_sweep(
         leaf_list = [params_ref[k] for k in range(n_leaves)]
         _, vjp = jax.vjp(tile_f, leaf_list, a, b)
         dleaves, da, _db = vjp(dK)
+        # mask-select assembly: Mosaic has no scatter lowering for .at[].set
+        lane = lax.broadcasted_iota(jnp.int32, (1, lane_pad), 1)
         dp = jnp.zeros((1, lane_pad), jnp.float32)
         for k in range(n_leaves):
-            dp = dp.at[0, k].set(dleaves[k].astype(jnp.float32))
+            dp = dp + jnp.where(lane == k, dleaves[k].astype(jnp.float32), 0.0)
 
         first = (i == 0) & (j == 0)
 

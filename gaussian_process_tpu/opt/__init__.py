@@ -6,6 +6,13 @@ from gaussian_process_tpu.opt.gradient import (
     log_params,
     exp_params,
 )
+from gaussian_process_tpu.opt.large_scale import (
+    LargeScaleResult,
+    lml_surrogate,
+    tune_large_scale,
+    slq_logdet,
+    lml_estimate,
+)
 from gaussian_process_tpu.opt.bo import (
     BOResult,
     tune_bayesian_opt,
@@ -21,6 +28,11 @@ __all__ = [
     "tune_gradient_ascent",
     "log_params",
     "exp_params",
+    "LargeScaleResult",
+    "lml_surrogate",
+    "tune_large_scale",
+    "slq_logdet",
+    "lml_estimate",
     "BOResult",
     "tune_bayesian_opt",
     "dedup_candidates",

@@ -10,6 +10,8 @@ from gaussian_process_tpu.parallel.kernel_blocks import sharded_gram, ring_matve
 from gaussian_process_tpu.parallel.cg import (
     distributed_posterior_mean_cg,
     make_posterior_mean_cg,
+    distributed_posterior_cg,
+    make_posterior_cg,
 )
 from gaussian_process_tpu.parallel.cholesky import (
     distributed_cholesky,
@@ -39,6 +41,8 @@ __all__ = [
     "ring_matvec",
     "distributed_posterior_mean_cg",
     "make_posterior_mean_cg",
+    "distributed_posterior_cg",
+    "make_posterior_cg",
     "distributed_cholesky",
     "distributed_cholesky_solve",
     "make_distributed_posterior",

@@ -145,3 +145,36 @@ def laplace_binary_reference_mode(K, y, f_prior, max_iters=10000, tol=1e-4):
         if err <= tol:
             break
     return f, grad0, L, sW
+
+
+def multiclass_reference_mode(K_full, y_stacked, C, n, max_iters=10000, tol=0.01):
+    """Transliteration of the reference's damped trainer2 with its quirks
+    (Q4 sign, half-solve) [ref: GP_multi_classification.py:129-176]; stride
+    generalised to n (Q3). Returns (f, pi_vector)."""
+    s = 3.0
+    step_size = 1e-4
+    N = C * n
+    L = np.linalg.cholesky(s * np.eye(N) + K_full)
+    L_inv = np.linalg.inv(L)
+    A_inv = L_inv.T @ L_inv
+    f = np.zeros(N)
+    piv = np.zeros(N)
+    for _ in range(max_iters):
+        fm = f.reshape(C, n)
+        e = np.exp(fm - fm.max(axis=0, keepdims=True))
+        pi_cn = e / e.sum(axis=0, keepdims=True)
+        piv = pi_cn.reshape(N)
+        Pi = np.zeros((N, n))
+        for c in range(C):
+            Pi[c * n: (c + 1) * n] = np.diag(pi_cn[c])
+        W = np.diag(piv) - Pi @ Pi.T
+        sec_deri = A_inv + W
+        L_sd = np.linalg.cholesky(s * np.eye(N) + sec_deri)
+        L_inv_sd = np.linalg.inv(L_sd)
+        rhs = ((1 - step_size) * A_inv + W) @ f + y_stacked + piv
+        f_new = L_inv_sd @ rhs
+        err = np.sqrt(np.sum((f_new - f) ** 2))
+        f = f_new
+        if err <= tol:
+            break
+    return f, piv

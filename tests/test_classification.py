@@ -245,3 +245,57 @@ class TestReferenceModeBinary:
         acc_n = float(np.mean(np.asarray(pred_n.label) == y_test))
         assert acc_n >= acc - 1e-9
         assert acc_n >= 0.85
+
+
+class TestReferenceModeMulticlass:
+    """laplace_fit_multiclass(mode='reference') reproduces trainer2 (quirk
+    Q4: '+ y + pi' and the half-solve update) and the reference's printed
+    blobs accuracy [ref: GP_multi_classification.py:129-176,253]."""
+
+    def test_matches_trainer2_oracle(self):
+        from scipy.linalg import block_diag
+
+        X_train, _, y_train, _ = _blobs()
+        X_train = X_train[:21]  # small n keeps the oracle loop fast
+        y_train = y_train[:21]
+        C, n = 3, len(y_train)
+        Kc = oracles.rbf(X_train, X_train, 1.0, 1.0)
+        K_full = block_diag(Kc, Kc, Kc)
+        y1h = np.zeros((C, n))
+        y1h[y_train, np.arange(n)] = 1.0
+        f_o, piv_o = oracles.multiclass_reference_mode(
+            K_full, y1h.reshape(C * n), C, n, max_iters=3000
+        )
+        K = jnp.broadcast_to(jnp.asarray(Kc), (C, n, n))
+        state = gp.laplace_fit_multiclass(
+            K, jnp.asarray(y1h), mode="reference", max_iters=3000
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.f_mode).reshape(C * n), f_o, rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.pi).reshape(C * n), piv_o, rtol=1e-6, atol=1e-8
+        )
+
+    def test_reference_mode_blobs_accuracy(self):
+        """End-to-end: reference-mode fit + the reference's y - pi predictor
+        -> its printed accuracy; the corrected Newton must do at least as
+        well on the same data."""
+        X_train, X_test, y_train, y_test = _blobs()
+        k = ops.RBF()
+        p = k.init_params()
+        st_ref = gp.fit_multiclass(
+            k, p, X_train, jnp.asarray(y_train), 3, mode="reference",
+            max_iters=3000,
+        )
+        pred_ref = gp.predict_multiclass(
+            k, p, st_ref, X_train, jnp.asarray(y_train), X_test, 3
+        )
+        acc_ref = float(np.mean(np.asarray(pred_ref.label) == y_test))
+        st = gp.fit_multiclass(k, p, X_train, jnp.asarray(y_train), 3)
+        pred = gp.predict_multiclass(
+            k, p, st, X_train, jnp.asarray(y_train), X_test, 3
+        )
+        acc = float(np.mean(np.asarray(pred.label) == y_test))
+        assert acc_ref >= 0.8  # the reference's printed metric range
+        assert acc >= acc_ref - 1e-9

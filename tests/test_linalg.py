@@ -178,3 +178,63 @@ class TestCG:
         A = jnp.asarray(K)
         f = jax.jit(lambda rhs: linalg.cg_solve(lambda v: A @ v, rhs, tol=1e-12, max_iters=100).x)
         np.testing.assert_allclose(f(jnp.asarray(b)), np.linalg.solve(K, b), rtol=1e-6, atol=1e-8)
+
+
+class TestNystromPreconditioner:
+    """linalg/nystrom.py: Woodbury application correctness + the convergence
+    win over Jacobi that motivates it (see module docstring)."""
+
+    def test_apply_matches_dense_inverse(self, rng):
+        from gaussian_process_tpu import ops
+        from gaussian_process_tpu.linalg.nystrom import make_nystrom_preconditioner
+
+        n, r = 300, 64
+        x = jnp.asarray(rng.uniform(-5, 5, (n, 3)))
+        k = ops.RBF()
+        p = k.init_params()
+        pre = make_nystrom_preconditioner(k, p, x, shift=1e-2, rank=r)
+        P = np.asarray(pre.U) @ np.asarray(pre.U).T + 1e-2 * np.eye(n)
+        v = rng.standard_normal(n)
+        got = np.asarray(pre.apply(jnp.asarray(v)))
+        np.testing.assert_allclose(got, np.linalg.solve(P, v), rtol=1e-7, atol=1e-9)
+        # block application too
+        V = rng.standard_normal((n, 5))
+        gotV = np.asarray(pre.apply(jnp.asarray(V)))
+        np.testing.assert_allclose(gotV, np.linalg.solve(P, V), rtol=1e-7, atol=1e-9)
+
+    def test_beats_jacobi_and_agrees(self, rng):
+        from gaussian_process_tpu import ops
+        from gaussian_process_tpu.linalg.nystrom import make_nystrom_preconditioner
+
+        n = 1500
+        x = jnp.asarray(rng.uniform(-5, 5, (n, 4)))
+        y = jnp.asarray(rng.standard_normal(n))
+        k = ops.RBF()
+        p = {"sigma": jnp.asarray(1.0), "lengthscale": jnp.asarray(2.0)}
+        shift = 1e-2
+        K = ops.gram(k, p, x)
+        mv = lambda v: K @ v + shift * v
+        pre = make_nystrom_preconditioner(k, p, x, shift=shift, rank=192)
+        st_j = linalg.cg_solve(mv, y, tol=1e-8, max_iters=3000,
+                               precond_diag=jnp.full(n, 1.0 + shift))
+        st_n = linalg.cg_solve(mv, y, tol=1e-8, max_iters=3000,
+                               precond_apply=pre.apply)
+        assert int(st_n.iters) < int(st_j.iters) // 2
+        np.testing.assert_allclose(st_n.x, st_j.x, rtol=1e-5, atol=1e-7)
+
+    def test_posterior_cg_nystrom_matches_cholesky(self, rng):
+        from gaussian_process_tpu import gp, ops
+
+        n, m = 900, 40
+        x = rng.uniform(-5, 5, (n, 3))
+        y = np.sin(0.9 * x.sum(1))
+        xs = rng.uniform(-5, 5, (m, 3))
+        k = ops.RBF()
+        p = {"sigma": jnp.asarray(1.0), "lengthscale": jnp.asarray(1.5)}
+        exact = gp.posterior(k, p, x, y, xs, noise_variance=1e-2)
+        cgp = gp.posterior_cg(
+            k, p, x, y, xs, noise_variance=1e-2, tol=1e-10,
+            preconditioner="nystrom", precond_rank=128,
+        )
+        np.testing.assert_allclose(cgp.mean, exact.mean, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(cgp.var, exact.var, rtol=1e-3, atol=1e-8)

@@ -76,3 +76,20 @@ class TestGPMulticlassClassifier:
 
         with pytest.raises(RuntimeError):
             GPMulticlassClassifier(ops.RBF(), 3).predict(np.zeros((2, 2)))
+
+
+def test_regressor_cg_solver_matches_cholesky(rng):
+    import jax.numpy as jnp
+
+    from gaussian_process_tpu.models import GPRegressor
+    from gaussian_process_tpu import ops
+
+    x = rng.uniform(-5, 5, (300, 2)).astype(np.float64)
+    y = np.sin(0.9 * x.sum(1))
+    xt = rng.uniform(-5, 5, (25, 2)).astype(np.float64)
+    m = GPRegressor(ops.RBF(), noise_variance=1e-2).fit(x, y)
+    mean_c, std_c = m.predict(xt, return_std=True, solver="cholesky")
+    mean_g, std_g = m.predict(xt, return_std=True, solver="cg")
+    # default CG tolerance (1e-6 residual) -> ~1e-4 relative agreement
+    np.testing.assert_allclose(mean_g, mean_c, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(std_g, std_c, rtol=1e-3, atol=1e-6)
