@@ -2,9 +2,12 @@
 
 These are the production fast paths above ``MIN_BLOCKED_N`` (wired through
 ``linalg.safe_cholesky`` / ``gp.posterior``); correctness here is against
-NumPy/SciPy f64 oracles (SURVEY.md sec. 4 item 2). The Pallas panel kernel
-runs in interpret mode on CPU (kept to one small size — interpret mode is
-slow); compiled-mode validation happens on TPU via bench.py's parity gate.
+NumPy/SciPy f64 oracles (SURVEY.md sec. 4 item 2). The threshold constant is
+monkeypatched down so the multi-panel code path runs at CPU-friendly sizes —
+the panel loop is shape-generic, so n=608/block=128 exercises exactly the
+code that runs at n=8192/block=512 on TPU (where bench.py's parity gate
+validates it compiled). The Pallas panel kernel runs in interpret mode on
+CPU (kept to one small size — interpret mode is slow).
 """
 
 import jax.numpy as jnp
@@ -22,11 +25,19 @@ def _spd(rng, n, jitter=1e-3):
     return np.exp(-0.5 * sq) + jitter * np.eye(n)
 
 
+@pytest.fixture
+def small_threshold(monkeypatch):
+    """Route n >= 256 matrices through the blocked path (production: 4096)."""
+    monkeypatch.setattr(blocked, "MIN_BLOCKED_N", 256)
+
+
 class TestBlockedCholesky:
-    def test_matches_stock_above_threshold(self, rng):
-        n = blocked.MIN_BLOCKED_N + 160  # force the blocked path, n % block != 0
+    def test_matches_stock_multi_panel(self, rng, small_threshold):
+        n = 608  # 5 panels at block=128, n % block != 0 (ragged tail panel)
         K = _spd(rng, n)
-        L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
+        L = np.asarray(
+            blocked.blocked_cholesky(jnp.asarray(K), block=128, use_pallas=False)
+        )
         L0 = np.linalg.cholesky(K)
         np.testing.assert_allclose(L, L0, rtol=1e-8, atol=1e-9)
         assert np.allclose(np.triu(L, 1), 0.0)
@@ -36,17 +47,21 @@ class TestBlockedCholesky:
         L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
         np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-10)
 
-    def test_nan_on_indefinite(self, rng):
-        n = blocked.MIN_BLOCKED_N + 64
+    def test_nan_on_indefinite(self, rng, small_threshold):
+        n = 384
         K = _spd(rng, n)
         K[n - 1, n - 1] = -1e3  # indefinite trailing block
-        L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), use_pallas=False))
+        L = np.asarray(
+            blocked.blocked_cholesky(jnp.asarray(K), block=128, use_pallas=False)
+        )
         assert np.isnan(np.diag(L)).any()
 
-    def test_safe_cholesky_routes_through_blocked(self, rng):
-        """safe_cholesky at n >= MIN_BLOCKED_N must produce the same factor
-        (the dispatcher is supposed to be semantics-invisible)."""
-        n = blocked.MIN_BLOCKED_N
+    def test_safe_cholesky_routes_through_blocked(self, rng, small_threshold):
+        """safe_cholesky above the (patched) threshold must dispatch into the
+        blocked factorization and produce the same factor (the dispatcher is
+        supposed to be semantics-invisible). n=640 > DEFAULT_BLOCK so the
+        default-block call really takes the multi-panel branch."""
+        n = 640
         K = _spd(rng, n)
         res = safe_cholesky(jnp.asarray(K))
         assert bool(res.ok)
@@ -57,23 +72,29 @@ class TestBlockedCholesky:
 
 class TestBlockedTriSolve:
     @pytest.mark.parametrize("trans", [False, True])
-    def test_matches_scipy(self, rng, trans):
-        n = blocked.MIN_BLOCKED_N + 128
+    def test_matches_scipy(self, rng, small_threshold, trans):
+        n = 608
         K = _spd(rng, n)
         L = np.linalg.cholesky(K)
         B = rng.standard_normal((n, 32))
         X = np.asarray(
-            blocked.blocked_tri_solve(jnp.asarray(L), jnp.asarray(B), trans=trans)
+            blocked.blocked_tri_solve(
+                jnp.asarray(L), jnp.asarray(B), trans=trans, block=128
+            )
         )
         X0 = solve_triangular(L.T if trans else L, B, lower=not trans)
         np.testing.assert_allclose(X, X0, rtol=1e-7, atol=1e-8)
 
-    def test_vector_rhs(self, rng):
-        n = blocked.MIN_BLOCKED_N + 128
+    def test_vector_rhs(self, rng, small_threshold):
+        n = 384
         L = np.linalg.cholesky(_spd(rng, n))
         b = rng.standard_normal(n)
-        x = np.asarray(blocked.blocked_tri_solve(jnp.asarray(L), jnp.asarray(b)))
-        np.testing.assert_allclose(x, solve_triangular(L, b, lower=True), rtol=1e-7, atol=1e-8)
+        x = np.asarray(
+            blocked.blocked_tri_solve(jnp.asarray(L), jnp.asarray(b), block=128)
+        )
+        np.testing.assert_allclose(
+            x, solve_triangular(L, b, lower=True), rtol=1e-7, atol=1e-8
+        )
 
 
 class TestPallasPanel:
