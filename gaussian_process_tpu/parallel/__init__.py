@@ -26,6 +26,10 @@ from gaussian_process_tpu.parallel.restarts import (
     make_sharded_gradient_restarts,
     best_restart,
 )
+from gaussian_process_tpu.parallel.multiclass import (
+    fit_multiclass_sharded,
+    make_sharded_multiclass_fit,
+)
 from gaussian_process_tpu.parallel.recovery import (
     run_with_redispatch,
     RedispatchResult,
@@ -52,6 +56,8 @@ __all__ = [
     "sharded_gradient_restarts",
     "make_sharded_gradient_restarts",
     "best_restart",
+    "fit_multiclass_sharded",
+    "make_sharded_multiclass_fit",
     "run_with_redispatch",
     "RedispatchResult",
     "multihost",

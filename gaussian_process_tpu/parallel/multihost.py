@@ -115,11 +115,32 @@ def fetch_replicated(garray: jax.Array) -> np.ndarray:
     return np.asarray(garray.addressable_shards[0].data)
 
 
-def sync_hosts(name: str = "sync") -> None:
+def sync_hosts(name: str = "sync", *, timeout_s: Optional[float] = None) -> None:
     """Barrier across all processes — failure detection in practice: a dead
-    host makes this raise on every survivor (coordination-service heartbeat),
-    which is the signal to restart from the last checkpoint (SURVEY.md §5,
-    failure-detection row)."""
-    from jax.experimental import multihost_utils
+    host makes this raise on every survivor (coordination-service
+    DEADLINE_EXCEEDED), which is the signal to fail over (SURVEY.md §5,
+    failure-detection row; exercised by the kill-one-host loopback test).
 
-    multihost_utils.sync_global_devices(name)
+    ``timeout_s`` bounds how long survivors wait before declaring the
+    barrier failed (default: jax's own multi-minute barrier timeout).
+    """
+    if timeout_s is None:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+        return
+    client = jax._src.distributed.global_state.client
+    if client is None:  # single-process: nothing to synchronise
+        return
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+def live_hosts() -> list:
+    """Process ids the coordination service currently believes are alive —
+    the detector behind elastic re-dispatch: after a host dies, survivors
+    rebuild work assignments over this set (parallel/recovery.py)."""
+    client = jax._src.distributed.global_state.client
+    if client is None:
+        return [0]
+    live = client.get_live_nodes(list(range(jax.process_count())))
+    return sorted(live)

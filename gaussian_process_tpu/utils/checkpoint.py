@@ -9,9 +9,17 @@ mid-Newton.
 
 Format: ``<path>/manifest.json`` (treedef + leaf metadata) +
 ``<path>/arrays.npz`` (the leaves). Writes go to a temp dir then ``os.replace``
-so a crash mid-save never corrupts the previous checkpoint. Multi-host: each
-process saves its addressable shards under a rank suffix; fully-replicated
-pytrees are saved by rank 0 only (``save(..., per_host=False)``).
+so a crash mid-save never corrupts the previous checkpoint.
+
+Multi-host (SURVEY.md §5, checkpoint row): a globally-sharded, NOT
+fully-addressable ``jax.Array`` leaf cannot be ``device_get`` whole — each
+process slices its OWN ``leaf.addressable_shards`` (deduped by shard index)
+into its rank file, with the shard index recorded in the manifest. Restore
+rebuilds the global array with ``jax.make_array_from_callback`` against the
+``like`` leaf's sharding, each process reading back exactly the shards it
+owns — assuming the same process/device topology as at save time, which is
+the standard contract for sharded checkpoints. Fully-replicated pytrees can
+be saved by rank 0 only (``save(..., per_host=False)``).
 """
 
 from __future__ import annotations
@@ -41,6 +49,23 @@ def _flatten(tree: Any):
     return leaves, treedef
 
 
+def _index_key(index, shape) -> str:
+    """Canonical string for a shard's global slice, e.g. ``0:4,0:8``
+    (None slice bounds resolved against the global shape)."""
+    parts = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        parts.append(f"{start}:{stop}")
+    return ",".join(parts)
+
+
+def _is_global_sharded(leaf: Any) -> bool:
+    import jax
+
+    return isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+
+
 def save(path: str, tree: Any, *, step: Optional[int] = None, per_host: bool = True) -> str:
     """Atomically save a pytree checkpoint to directory ``path``.
 
@@ -56,9 +81,36 @@ def save(path: str, tree: Any, *, step: Optional[int] = None, per_host: bool = T
     arrays = {}
     meta = []
     for i, leaf in enumerate(leaves):
-        arr = np.asarray(jax.device_get(leaf))
-        arrays[f"leaf_{i}"] = arr
-        meta.append({"index": i, "dtype": str(arr.dtype), "shape": list(arr.shape)})
+        if _is_global_sharded(leaf):
+            # per-shard save: this process contributes exactly the shards it
+            # can address, deduped by global index (replicated axes make the
+            # same slice addressable from several local devices)
+            shards = sorted(
+                leaf.addressable_shards,
+                key=lambda s: _index_key(s.index, leaf.shape),
+            )
+            shard_keys = []
+            seen = set()
+            for s in shards:
+                key = _index_key(s.index, leaf.shape)
+                if key in seen:
+                    continue
+                seen.add(key)
+                arrays[f"leaf_{i}_shard_{len(shard_keys)}"] = np.asarray(s.data)
+                shard_keys.append(key)
+            meta.append(
+                {
+                    "index": i,
+                    "dtype": str(leaf.dtype),
+                    "shape": list(leaf.shape),
+                    "sharded": True,
+                    "shard_keys": shard_keys,
+                }
+            )
+        else:
+            arr = np.asarray(jax.device_get(leaf))
+            arrays[f"leaf_{i}"] = arr
+            meta.append({"index": i, "dtype": str(arr.dtype), "shape": list(arr.shape)})
 
     name = path if step is None else os.path.join(path, f"step_{step:08d}")
     suffix = f".rank{rank}" if (per_host and rank > 0) else ""
@@ -113,8 +165,44 @@ def restore(path: str, like: Any, *, step: Optional[int] = None) -> Any:
         )
     leaves = []
     for i, like_leaf in enumerate(like_leaves):
-        arr = data[f"leaf_{i}"]
+        entry = manifest["leaves"][i]
         dtype = getattr(like_leaf, "dtype", None)
+        if entry.get("sharded"):
+            shape = tuple(entry["shape"])
+            local = {
+                key: data[f"leaf_{i}_shard_{j}"]
+                for j, key in enumerate(entry["shard_keys"])
+            }
+            if isinstance(like_leaf, jax.Array) and not like_leaf.is_fully_addressable:
+                # rebuild the global array: each process serves exactly the
+                # shard slices it saved (same topology contract)
+                def cb(index, _local=local, _shape=shape, _dt=dtype):
+                    return _local[_index_key(index, _shape)].astype(_dt)
+
+                leaves.append(
+                    jax.make_array_from_callback(shape, like_leaf.sharding, cb)
+                )
+                continue
+            # single-process restore of a sharded save: assemble densely
+            # (only possible if this rank's file covers the whole array)
+            out = np.zeros(shape, dtype=entry["dtype"])
+            covered = np.zeros(shape, dtype=bool)
+            for key, block in local.items():
+                slices = tuple(
+                    slice(int(a), int(b))
+                    for a, b in (part.split(":") for part in key.split(","))
+                )
+                out[slices] = block
+                covered[slices] = True
+            if not covered.all():
+                raise ValueError(
+                    f"leaf {i}: this rank's checkpoint holds only part of the "
+                    "sharded array; restore with a 'like' pytree carrying the "
+                    "original global sharding"
+                )
+            leaves.append(out.astype(dtype) if dtype is not None else out)
+            continue
+        arr = data[f"leaf_{i}"]
         if dtype is not None:
             arr = arr.astype(dtype)
         leaves.append(arr)
