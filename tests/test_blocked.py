@@ -27,7 +27,11 @@ def _spd(rng, n, jitter=1e-3):
 
 @pytest.fixture
 def small_threshold(monkeypatch):
-    """Route n >= 256 matrices through the blocked path (production: 4096)."""
+    """Lower MIN_BLOCKED_N so CPU-friendly sizes can take the blocked path.
+
+    Dispatch condition is n > max(block, MIN_BLOCKED_N): with this patch the
+    blocked path needs n > block (128 in most tests here; DEFAULT_BLOCK for
+    callers that don't pass one) — not simply n >= 256."""
     monkeypatch.setattr(blocked, "MIN_BLOCKED_N", 256)
 
 
@@ -56,14 +60,29 @@ class TestBlockedCholesky:
         )
         assert np.isnan(np.diag(L)).any()
 
-    def test_safe_cholesky_routes_through_blocked(self, rng, small_threshold):
+    def test_safe_cholesky_routes_through_blocked(self, rng, small_threshold,
+                                                  monkeypatch):
         """safe_cholesky above the (patched) threshold must dispatch into the
-        blocked factorization and produce the same factor (the dispatcher is
-        supposed to be semantics-invisible). n=640 > DEFAULT_BLOCK so the
-        default-block call really takes the multi-panel branch."""
-        n = 640
+        blocked factorization and produce the same factor. The dispatcher is
+        semantics-invisible, so the numeric check alone would also pass on a
+        silent fallback to stock — a spy asserts blocked_cholesky really ran
+        (ADVICE.md round 2). n > DEFAULT_BLOCK so the default-block call
+        takes the multi-panel branch, with a ragged tail panel."""
+        n = blocked.DEFAULT_BLOCK + 160
         K = _spd(rng, n)
+        called = []
+        real = blocked.blocked_cholesky
+
+        def spy(K, **kw):
+            called.append(K.shape)
+            return real(K, **kw)
+
+        monkeypatch.setattr(blocked, "blocked_cholesky", spy)
         res = safe_cholesky(jnp.asarray(K))
+        # >= 1: the happy-path factorization plus the (traced-only) retry body
+        assert called and all(s == (n, n) for s in called), (
+            "dispatcher did not route through blocked"
+        )
         assert bool(res.ok)
         np.testing.assert_allclose(
             np.asarray(res.factor), np.linalg.cholesky(K), rtol=1e-8, atol=1e-9
