@@ -59,9 +59,10 @@ BF16_PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
 
 # Parity gates for the headline solve (VERDICT r2 item 1: the gate must
 # GATE). Committed thresholds at round-1 levels — the f32 floor of the
-# stock-Cholesky pipeline vs the f64 oracle — with modest headroom for
-# TPU bf16x6-vs-true-f32 drift. A run exceeding these exits nonzero.
-PARITY_GATE_REL_MEAN = float(os.environ.get("GP_BENCH_GATE_MEAN", 7e-4))
+# full-precision pipeline vs the f64 oracle. Measured r3 (left-looking
+# bf16x6 chol + blocked solves): mean 3.27e-4, LML 1.88e-5 at 16.2 ms.
+# A run exceeding these exits nonzero.
+PARITY_GATE_REL_MEAN = float(os.environ.get("GP_BENCH_GATE_MEAN", 5e-4))
 PARITY_GATE_REL_LML = float(os.environ.get("GP_BENCH_GATE_LML", 3e-4))
 
 
@@ -220,8 +221,8 @@ def _bench_solve() -> None:
     mean, var, lml = jax.device_get(solve(xtr, ytr, xte))
 
     if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
-        baseline_s, mean_err, lml_err = 81.8, None, None
-        _log("[bench] baseline skipped (recorded 81.8 s reused)")
+        baseline_s, mean_err, lml_err = 38.6, None, None
+        _log("[bench] baseline skipped (recorded 38.6 s reused)")
     else:
         baseline_s, base = _baseline_numpy_solve(x_train, y_train, x_test)
         _log(f"[bench] baseline (NumPy f64 host): {baseline_s:.2f} s")
@@ -245,7 +246,7 @@ def _bench_solve() -> None:
         **(
             {"parity_rel_mean_err": mean_err, "parity_rel_lml_err": lml_err}
             if mean_err is not None
-            else {"baseline_note": "skipped; recorded 81.8 s reused"}
+            else {"baseline_note": "skipped; recorded 38.6 s reused"}
         ),
         baseline="numpy_f64_host_measured",
     )
@@ -438,7 +439,7 @@ def _bench_cg100k() -> None:
     _log(f"[bench] cg vs chol parity at n=4096: mean {mean_err:.2e}, var {var_err:.2e}")
     assert mean_err < 1e-2 and var_err < 1e-2, (mean_err, var_err)
 
-    est_baseline_s = 81.8 * (n / 8192.0) ** 3  # O(n^3) extrapolation, see header
+    est_baseline_s = 38.6 * (n / 8192.0) ** 3  # O(n^3) extrapolation, see header
     _emit(
         f"cg_posterior_n{n}",
         device_s,

@@ -60,6 +60,24 @@ class TestBlockedCholesky:
         )
         assert np.isnan(np.diag(L)).any()
 
+    @pytest.mark.parametrize("n,block", [(608, 128), (1184, 256), (300, 128)])
+    def test_leftlook_matches_stock(self, rng, small_threshold, n, block):
+        """Left-looking tiled variant: identical semantics to stock/blocked
+        (incl. ragged tail panels and n < block delegation)."""
+        K = _spd(rng, n)
+        L = np.asarray(blocked.leftlook_cholesky(jnp.asarray(K), block=block))
+        np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-8, atol=1e-9)
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+    def test_leftlook_nan_on_indefinite_leading_block(self, rng, small_threshold):
+        """A NaN from an indefinite EARLY panel must propagate to the factor
+        diagonal (safe_cholesky's check) through the left-looking updates."""
+        n = 384
+        K = _spd(rng, n)
+        K[10, 10] = -1e3  # indefinite inside the first panel
+        L = np.asarray(blocked.leftlook_cholesky(jnp.asarray(K), block=128))
+        assert np.isnan(np.diag(L)).any()
+
     def test_safe_cholesky_routes_through_blocked(self, rng, small_threshold,
                                                   monkeypatch):
         """safe_cholesky above the (patched) threshold must dispatch into the
