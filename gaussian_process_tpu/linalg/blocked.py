@@ -63,12 +63,15 @@ MIN_BLOCKED_N = 4096
 
 def _use_pallas_panels(dtype, use_pallas: Optional[bool]) -> bool:
     """Fused Pallas panel factor+inverse (ops/pallas/chol.py): available but
-    OFF by default — measured on v5e at n=8192 (slope-timed, RTT-free):
-    stock 13.7 ms / blocked-XLA 10.4 ms / blocked-Pallas-panel 12.0 ms.
-    The Mosaic per-fori-iteration overhead (~0.6 us x b pivot steps) exceeds
-    what the fused panel saves over XLA's already-pipelined small chol+TRSM
-    pair. Kept (tested, correct) for architectures where the tradeoff flips.
-    f32-only (f64 callers — the CPU parity suite — keep the XLA panel ops)."""
+    OFF by default — measured on v5e at n=8192 (slope-timed, RTT-free, on
+    the round-2 right-looking variant): stock 13.7 ms / blocked-XLA 10.4 ms
+    / blocked-Pallas-panel 12.0 ms. The Mosaic per-fori-iteration overhead
+    (~0.6 us x b pivot steps) exceeds what the fused panel saves over XLA's
+    already-pipelined small chol+TRSM pair; the left-looking production
+    algorithm spends an even smaller fraction of its time in panels, so the
+    tradeoff has not flipped. Kept (tested, correct) for architectures
+    where it might. f32-only (f64 callers — the CPU parity suite — keep the
+    XLA panel ops)."""
     if use_pallas is None:
         return False
     return use_pallas and dtype == jnp.float32

@@ -81,6 +81,21 @@ _SLOW_TESTS = {
     "test_solve_config_supplies_noise",
     "test_sample_shapes",
     "test_matches_functional_posterior",
+    "test_regressor_cg_solver_matches_cholesky",
+    "test_larger_problem",
+    "test_matches_single_device",
+    "test_lml_batch_matches_serial",
+    "test_apply_matches_dense_inverse",
+    "test_matches_stock_multi_panel",
+    "test_optimize_improves_lml",
+    "test_gradient_ascent_config",
+    "test_mean_and_var_match_dense",
+    "test_safe_cholesky_routes_through_blocked",
+    "test_bo_config",
+    "test_leftlook_matches_stock",
+    "test_distributed_cg_n63",
+    "test_posterior_samples_contract_at_train_points",
+    "test_posterior_mean_matches_cholesky",
 }
 
 
