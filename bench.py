@@ -35,7 +35,7 @@ Modes (GP_BENCH_MODE):
   in the JSON); on a pod slice the same code takes the real mesh.
 
 Env: GP_BENCH_NTRAIN / GP_BENCH_NTEST / GP_BENCH_N / GP_BENCH_SKIP_BASELINE=1
-/ GP_BENCH_CG_ITERS / GP_BENCH_REPEATS / GP_BENCH_GATE_MEAN / GP_BENCH_GATE_LML.
+/ GP_BENCH_CG_ITERS / GP_BENCH_CG_RANK / GP_BENCH_REPEATS / GP_BENCH_GATE_MEAN / GP_BENCH_GATE_LML.
 
 Roofline (v5e: 197 TF/s bf16 MXU, ~819 GB/s HBM; f32 GEMMs are bf16
 multi-pass — x6 ceiling ~33 TF/s, x3 ~66 TF/s). Which numbers are at their
@@ -415,8 +415,11 @@ def _bench_cg100k() -> None:
     # worker's ~60 s execution watchdog (~0.2 s per 100k matvec); the
     # Nystrom preconditioner (linalg/nystrom.py) makes that budget ample —
     # Jacobi CG stalls on this spectrum (measured ||r|| 241 -> 192 over 100
-    # iterations) while Nystrom-1024 converges in tens
+    # iterations); Nystrom-1024 converges in 118 iters (20.8 s), rank 2048
+    # in 42 (7.5 s, the default); 4096 OOMs 16 GB HBM (U alone is 1.6 GB
+    # and the block solve carries 17 RHS)
     max_iters = int(os.environ.get("GP_BENCH_CG_ITERS", 120))
+    rank = int(os.environ.get("GP_BENCH_CG_RANK", 2048))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-5.0, 5.0, (n, D)), jnp.float32)
     y = jnp.asarray(
@@ -436,7 +439,7 @@ def _bench_cg100k() -> None:
             kernel, params, x, y, x_test,
             noise_variance=noise, tol=1e-3, max_iters=max_iters,
             test_chunk=m_test, use_pallas=True,
-            preconditioner="nystrom", precond_rank=1024,
+            preconditioner="nystrom", precond_rank=rank,
         )
         return post.mean, post.var, post.iters, post.resnorm
 

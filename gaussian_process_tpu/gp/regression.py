@@ -287,7 +287,7 @@ def posterior_cg(
     test_chunk: int = 512,
     use_pallas: Optional[bool] = None,
     preconditioner: str = "auto",
-    precond_rank: int = 512,
+    precond_rank: Optional[int] = None,
     cfg: Optional[_config.SolveConfig] = None,
 ) -> CGPosterior:
     """Matrix-free exact-GP posterior (mean AND variance) at large n.
@@ -308,7 +308,10 @@ def posterior_cg(
     ``preconditioner``: "nystrom" (rank-``precond_rank`` landmark
     preconditioner, linalg/nystrom.py — the large-n default: Jacobi CG
     stalls at n ~ 100k where kappa ~ 1e6), "jacobi", "none", or "auto"
-    (nystrom above n = 4096, jacobi below).
+    (nystrom above n = 4096, jacobi below). ``precond_rank=None`` scales
+    the rank with n: min(2048, max(512, n // 50)) — measured at n = 102400
+    on v5e, rank 1024 takes 118 CG iters (20.8 s) vs 42 at 2048 (7.5 s);
+    4096 exceeds 16 GB HBM.
 
     The reference has no large-n path at all (dense factorization only,
     [ref: GP_regression.py:138]); this is the n ~ 100k single-chip path
@@ -345,6 +348,8 @@ def posterior_cg(
     noisy_mv = lambda v: matvec(v) + shift * v
     if preconditioner == "auto":
         preconditioner = "nystrom" if n > 4096 else "jacobi"
+    if precond_rank is None:
+        precond_rank = min(2048, max(512, n // 50))
     if preconditioner == "nystrom":
         from gaussian_process_tpu.linalg import nystrom as _nys
 
