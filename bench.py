@@ -93,6 +93,18 @@ BF16_PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
 # A run exceeding these exits nonzero.
 PARITY_GATE_REL_MEAN = float(os.environ.get("GP_BENCH_GATE_MEAN", 5e-4))
 PARITY_GATE_REL_LML = float(os.environ.get("GP_BENCH_GATE_LML", 3e-4))
+# variance rides the HIGH-precision v solve (gp/regression.py) — the one
+# reduced-precision quantity, so it gets its own gate (ADVICE r3 low #4).
+PARITY_GATE_REL_VAR = float(os.environ.get("GP_BENCH_GATE_VAR", 2e-3))
+
+# Contention defense (VERDICT r3 item 1): min-of-k independent slope trials,
+# compared against the newest committed BENCH_ALL artifact; on a >2x anomaly
+# back off and retry (bounded), then emit contention_suspected + the trial
+# list rather than silently recording a poisoned number.
+TRIALS = int(os.environ.get("GP_BENCH_TRIALS", 3))
+ANOMALY_FACTOR = float(os.environ.get("GP_BENCH_ANOMALY_FACTOR", 2.0))
+MAX_ANOMALY_ROUNDS = int(os.environ.get("GP_BENCH_ANOMALY_ROUNDS", 3))
+ANOMALY_BACKOFF_S = float(os.environ.get("GP_BENCH_ANOMALY_BACKOFF_S", 20.0))
 
 
 class ParityGateError(SystemExit):
@@ -100,22 +112,111 @@ class ParityGateError(SystemExit):
 
 
 def check_parity_gate(mean_err: float, lml_err: float,
-                      *, gate_mean: float = None, gate_lml: float = None) -> None:
+                      *, var_err: float = None,
+                      gate_mean: float = None, gate_lml: float = None,
+                      gate_var: float = None) -> None:
     """Fail the bench (exit 1) if parity exceeds the committed thresholds.
 
     Round 2 shipped an 85x parity regression because the old 'gate' only
-    logged; this one raises. Unit-tested in tests/test_bench_gate.py with a
-    deliberately degraded error pair.
+    logged; this one raises. NaN fails CLOSED: the check is expressed as
+    ``not (err <= gate)`` so a NaN error (e.g. a broken factor producing a
+    NaN mean) trips the gate instead of slipping through a ``>`` comparison
+    that is False for NaN (ADVICE r3 medium #1). Unit-tested in
+    tests/test_bench_gate.py including the NaN case.
     """
     gate_mean = PARITY_GATE_REL_MEAN if gate_mean is None else gate_mean
     gate_lml = PARITY_GATE_REL_LML if gate_lml is None else gate_lml
-    if mean_err > gate_mean or lml_err > gate_lml:
+    gate_var = PARITY_GATE_REL_VAR if gate_var is None else gate_var
+    ok = (mean_err <= gate_mean) and (lml_err <= gate_lml)
+    if var_err is not None:
+        ok = ok and (var_err <= gate_var)
+    if not ok:
         _log(
             f"[bench] PARITY GATE FAILED: rel mean err {mean_err:.3e} "
             f"(gate {gate_mean:.1e}), rel LML err {lml_err:.3e} "
-            f"(gate {gate_lml:.1e})"
+            f"(gate {gate_lml:.1e}), rel var err {var_err} "
+            f"(gate {gate_var:.1e})"
         )
         raise ParityGateError(1)
+
+
+def _committed_reference_ms(metric: str, unit: str = "ms"):
+    """Value of ``metric`` in the NEWEST committed BENCH_ALL artifact.
+
+    Returns None when no committed row exists (first run at a new size)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_ALL_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for row in data.get("rows", []):
+            if (
+                row.get("metric") == metric
+                and row.get("ok", True)
+                and row.get("unit") == unit
+            ):
+                ref = float(row["value"])  # later (newer round) files win
+    return ref
+
+
+def _defended_slope(step, init, *, metric, repeats=None, readout=None):
+    """Slope-time ``step`` with the full contention defense.
+
+    k independent slope trials (min wins — contention only ever ADDS time);
+    if even the min is > ANOMALY_FACTOR x the committed record, sleep and
+    re-measure up to MAX_ANOMALY_ROUNDS times. Returns (timing_dict,
+    defense_info) where defense_info carries the complete trial list and a
+    ``contention_suspected`` flag for the JSON row — the round-3 driver
+    record was poisoned by exactly this failure mode (140 ms captured for a
+    16 ms solve) with no visible evidence.
+    """
+    from gaussian_process_tpu.utils import profiling
+
+    if repeats is None:
+        repeats = REPEATS
+    ref_ms = _committed_reference_ms(metric)
+    all_trials = []
+    tm = None
+    anomaly_rounds = 0
+    for rnd in range(MAX_ANOMALY_ROUNDS):
+        tm = profiling.device_time_chained(
+            step, init, repeats=repeats, readout=readout,
+            trials=TRIALS, trial_pause_s=2.0,
+        )
+        all_trials.extend(tm["trials_s"])
+        best_ms = min(all_trials) * 1e3
+        if ref_ms is None or best_ms <= ANOMALY_FACTOR * ref_ms:
+            break
+        anomaly_rounds += 1
+        backoff = ANOMALY_BACKOFF_S * (rnd + 1)
+        _log(
+            f"[bench] ANOMALY on {metric}: best trial {best_ms:.2f} ms > "
+            f"{ANOMALY_FACTOR:g}x committed {ref_ms:.2f} ms "
+            f"(round {rnd + 1}/{MAX_ANOMALY_ROUNDS}); backing off {backoff:.0f}s"
+        )
+        if rnd < MAX_ANOMALY_ROUNDS - 1:
+            time.sleep(backoff)
+    best = min(all_trials)
+    spread = max(all_trials) / best
+    contention = (
+        anomaly_rounds > 0
+        or (ref_ms is not None and best * 1e3 > ANOMALY_FACTOR * ref_ms)
+        or spread > ANOMALY_FACTOR
+    )
+    info = {
+        "trials_ms": [round(t * 1e3, 4) for t in all_trials],
+        "contention_suspected": bool(contention),
+    }
+    if ref_ms is not None:
+        info["committed_ref_ms"] = ref_ms
+    out = dict(tm)
+    out["device_s"] = best
+    return out, info
 
 
 def _log(msg: str) -> None:
@@ -235,10 +336,12 @@ def _bench_solve() -> None:
         # n^2 m triangular solve)
         return post.lml * 1e-30 + jnp.sum(post.mean) * 0.0 + jnp.sum(post.var) * 0.0
 
-    tm = profiling.device_time_chained(step, jnp.float32(0.0), repeats=REPEATS)
+    metric = f"exact_gp_regression_solve_n{n}"
+    tm, defense = _defended_slope(step, jnp.float32(0.0), metric=metric)
     device_s = tm["device_s"]
-    _log(f"[bench] solve n={n} m={m}: {device_s*1e3:.2f} ms device (slope), "
-         f"fixed overhead {tm['fixed_overhead_s']*1e3:.1f} ms")
+    _log(f"[bench] solve n={n} m={m}: {device_s*1e3:.2f} ms device "
+         f"(min of {len(defense['trials_ms'])} slope trials: "
+         f"{defense['trials_ms']})")
 
     # parity gate: one real evaluation vs the f64 oracle
     @jax.jit
@@ -250,7 +353,7 @@ def _bench_solve() -> None:
     mean, var, lml = jax.device_get(solve(xtr, ytr, xte))
 
     if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
-        baseline_s, mean_err, lml_err = 38.6, None, None
+        baseline_s, mean_err, lml_err, var_err = 38.6, None, None, None
         _log("[bench] baseline skipped (recorded 38.6 s reused)")
     else:
         baseline_s, base = _baseline_numpy_solve(x_train, y_train, x_test)
@@ -259,8 +362,12 @@ def _bench_solve() -> None:
             np.max(np.abs(mean - base["mean"])) / (np.max(np.abs(base["mean"])) + 1e-12)
         )
         lml_err = abs(float(lml) - base["lml"]) / abs(base["lml"])
-        _log(f"[bench] parity: rel mean err {mean_err:.2e}, rel LML err {lml_err:.2e}")
-        check_parity_gate(mean_err, lml_err)
+        var_err = float(
+            np.max(np.abs(var - base["var"])) / (np.max(np.abs(base["var"])) + 1e-12)
+        )
+        _log(f"[bench] parity: rel mean err {mean_err:.2e}, rel LML err "
+             f"{lml_err:.2e}, rel var err {var_err:.2e}")
+        check_parity_gate(mean_err, lml_err, var_err=var_err)
 
     flops = _solve_flops(n, m, D)
     gflops = flops / device_s / 1e9
@@ -273,10 +380,15 @@ def _bench_solve() -> None:
         gflops=round(gflops, 1),
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         **(
-            {"parity_rel_mean_err": mean_err, "parity_rel_lml_err": lml_err}
+            {
+                "parity_rel_mean_err": mean_err,
+                "parity_rel_lml_err": lml_err,
+                "parity_rel_var_err": var_err,
+            }
             if mean_err is not None
             else {"baseline_note": "skipped; recorded 38.6 s reused"}
         ),
+        **defense,
         baseline="numpy_f64_host_measured",
     )
 
@@ -308,8 +420,9 @@ def _bench_gram() -> None:
 
     init = ops.gram(kernel, {"sigma": jnp.float32(SIGMA),
                              "lengthscale": jnp.float32(LENGTHSCALE)}, xtr)
-    tm = profiling.device_time_chained(
-        step, init, repeats=REPEATS * 2, readout=lambda A: A[0, 0]
+    tm, defense = _defended_slope(
+        step, init, metric=f"gram_build_n{n}", repeats=REPEATS * 2,
+        readout=lambda A: A[0, 0],
     )
     device_s = tm["device_s"]
     flops = 2 * n * n * D + 8 * n * n
@@ -334,6 +447,7 @@ def _bench_gram() -> None:
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         hbm_gbps=round(out_bytes / device_s / 1e9, 1),
         note="bandwidth-bound at d=4: value = HBM write of the n^2 output",
+        **defense,
         baseline="numpy_f64_broadcast_sqdist_measured",
     )
 
@@ -363,9 +477,12 @@ def _bench_chol() -> None:
             kernel, params, xtr, ytr, noise_variance=NOISE
         ) * 1e-30
 
-    tm = profiling.device_time_chained(step, jnp.float32(0.0), repeats=REPEATS)
+    tm, defense = _defended_slope(
+        step, jnp.float32(0.0), metric=f"cholesky_solve_n{n}"
+    )
     device_s = tm["device_s"]
-    _log(f"[bench] chol-solve n={n}: {device_s*1e3:.2f} ms device")
+    _log(f"[bench] chol-solve n={n}: {device_s*1e3:.2f} ms device "
+         f"(trials {defense['trials_ms']})")
 
     if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
         # recorded n=10240 measurement, O(n^3)-extrapolated to other n
@@ -391,6 +508,7 @@ def _bench_chol() -> None:
         gflops=round(gflops, 1),
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         note="gram + left-looking tiled cholesky + alpha solve + LML, f32",
+        **defense,
         baseline=(
             "numpy_f64_gram_plus_chol_measured"
             if os.environ.get("GP_BENCH_SKIP_BASELINE") != "1"
@@ -451,6 +569,24 @@ def _bench_cg100k() -> None:
         lambda: jax.device_get(run(x, y, x_test)), warmup=1, iters=2
     )
     device_s = tm["min_s"]
+    # contention defense (seconds-scale wall-clock variant): compare vs the
+    # committed record; on a >2x anomaly back off and re-measure, bounded.
+    cg_trials = [tm["min_s"]]
+    ref_s = _committed_reference_ms(f"cg_posterior_n{n}", unit="s")
+    cg_contention = False
+    for rnd in range(MAX_ANOMALY_ROUNDS - 1):
+        if ref_s is None or device_s <= ANOMALY_FACTOR * ref_s:
+            break
+        cg_contention = True
+        backoff = ANOMALY_BACKOFF_S * (rnd + 1)
+        _log(f"[bench] ANOMALY on cg100k: {device_s:.2f} s > "
+             f"{ANOMALY_FACTOR:g}x committed {ref_s:.2f} s; backing off {backoff:.0f}s")
+        time.sleep(backoff)
+        tm = profiling.time_fn(
+            lambda: jax.device_get(run(x, y, x_test)), warmup=0, iters=2
+        )
+        cg_trials.append(tm["min_s"])
+        device_s = min(cg_trials)
     iters = int(iters_a)
     resnorm = float(res_a)
     _log(f"[bench] cg100k: {iters} iters, resnorm {resnorm:.2e}, "
@@ -491,11 +627,70 @@ def _bench_cg100k() -> None:
         includes_variance=True,
         parity_mean_err_n4096=mean_err,
         parity_var_err_n4096=var_err,
+        trials_s=[round(t, 3) for t in cg_trials],
+        contention_suspected=bool(
+            cg_contention
+            or (ref_s is not None and device_s > ANOMALY_FACTOR * ref_s)
+        ),
+        **({"committed_ref_s": ref_s} if ref_s is not None else {}),
         baseline="numpy_f64_solve_extrapolated_On3_NOT_measured",
     )
 
 
 # ---------------------------------------------------------------- scaling
+
+
+# Assumed per-direction ICI bandwidth of ONE v5e link (GB/s). The ring /
+# 1-D-axis collectives here ride neighbor links, so predictions use a
+# single link's bandwidth; stated explicitly in the JSON so a future real
+# pod measurement can recalibrate the model instead of guessing what was
+# assumed (VERDICT r3 item 7).
+ICI_LINK_GBPS = float(os.environ.get("GP_BENCH_ICI_GBPS", 45.0))
+
+
+def _ici_comm_model(p: int, n: int, t: int, d: int) -> dict:
+    """Predicted per-device ICI communication for one distributed posterior
+    (parallel/cholesky.py) and one distributed-CG iteration (parallel/cg.py).
+
+    Volumes are exact counts of the collectives the SPMD bodies issue; the
+    time predictions divide by the assumed single-link bandwidth
+    (ICI_LINK_GBPS) and are labelled as model output, not measurement.
+    - panel Cholesky: per panel step one (m, m) diag-block psum + one
+      (m, m)-per-device all_gather (each device receives (p-1) m^2 blocks).
+    - solves: forward = one (m, r) psum per panel step; backward = two.
+      The posterior does one t-RHS forward (variance v) and a 1-RHS
+      forward+backward (alpha).
+    - CG: per iteration the ring matvec ppermutes the (m, d) coordinate
+      block AND the (m, r) vector block p times; inner products add two
+      scalar psums (negligible, excluded).
+    A psum on a 1-D ring moves 2 (p-1)/p bytes per payload byte per device
+    (reduce-scatter + all-gather); an all_gather moves (p-1)/p of the
+    gathered result.
+    """
+    if p <= 1:
+        return {
+            "p": p, "chol_bytes_per_device": 0, "solve_bytes_per_device": 0,
+            "cg_ring_bytes_per_device_per_iter": 0,
+            "predicted_chol_comm_ms": 0.0, "predicted_solve_comm_ms": 0.0,
+            "predicted_cg_iter_comm_ms": 0.0,
+        }
+    B = 4  # f32
+    m = n // p
+    ring = 2.0 * (p - 1) / p  # psum bytes moved per payload byte
+    ag = float(p - 1)  # all_gather: bytes received per device per (m,m) block
+    chol_bytes = p * (ring * m * m + ag * m * m) * B
+    solve_bytes = (p * ring * m * t + 3 * p * ring * m * 1) * B
+    cg_iter_bytes = p * m * (d + 1) * B  # ppermute: (m,d) coords + (m,1) vec
+    bw = ICI_LINK_GBPS * 1e9
+    return {
+        "p": p,
+        "chol_bytes_per_device": int(chol_bytes),
+        "solve_bytes_per_device": int(solve_bytes),
+        "cg_ring_bytes_per_device_per_iter": int(cg_iter_bytes),
+        "predicted_chol_comm_ms": round(chol_bytes / bw * 1e3, 3),
+        "predicted_solve_comm_ms": round(solve_bytes / bw * 1e3, 3),
+        "predicted_cg_iter_comm_ms": round(cg_iter_bytes / bw * 1e3, 4),
+    }
 
 
 def _bench_scaling() -> None:
@@ -578,9 +773,14 @@ def _bench_scaling() -> None:
         dt = tm["min_s"]
         if p == meshes[0]:
             t1 = dt
-        eff = (t1 * p * p) / dt
+        # wall-clock "efficiency" is only meaningful on real devices — on
+        # the emulated CPU mesh 8 virtual devices share one host's cores,
+        # so the number is noise a reader WILL quote (VERDICT r3 weak #6):
+        # emit null there, the real formula only on hardware.
+        eff = round((t1 * p * p) / dt, 3) if real_multichip else None
         rows.append({"mesh": p, "n": n, "step_ms": round(dt * 1e3, 2),
-                     "efficiency_vs_1dev": round(eff, 3)})
+                     "efficiency_vs_1dev": eff,
+                     "comm_model": _ici_comm_model(p, n, m_test, D)})
         _log(f"[bench] scaling p={p} n={n}: {dt*1e3:.1f} ms")
 
         # invariance: the FIXED n_ref problem on every mesh size
@@ -607,6 +807,7 @@ def _bench_scaling() -> None:
             rows[-1]["efficiency_vs_1dev"],
             rows=rows,
             mesh_invariance_max_err=inv_err,
+            ici_link_gbps_assumed=ICI_LINK_GBPS,
         )
     else:
         _emit(
@@ -616,10 +817,15 @@ def _bench_scaling() -> None:
             1.0,
             rows=rows,
             emulated_cpu_mesh=True,
+            ici_link_gbps_assumed=ICI_LINK_GBPS,
             note="single-chip image: wall-clock efficiency on an emulated "
-                 "CPU mesh would be meaningless (virtual devices share one "
-                 "host), so the emulated metric is cross-mesh agreement of "
-                 "the SAME fixed problem; with >=2 real devices this mode "
+                 "CPU mesh is meaningless (virtual devices share one "
+                 "host's cores), so efficiency_vs_1dev is null here and "
+                 "the emulated metric is cross-mesh agreement of the SAME "
+                 "fixed problem. comm_model gives exact per-device ICI "
+                 "byte counts per collective plus predicted times at the "
+                 "stated link bandwidth — the row a future real-pod run "
+                 "validates against; with >=2 real devices this mode "
                  "emits true weak-scaling efficiency",
         )
 

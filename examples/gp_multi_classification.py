@@ -26,6 +26,11 @@ from gaussian_process_tpu.utils.logging import JsonlLogger
 
 
 def main() -> None:
+    # persistent XLA compile cache: first run through the axon tunnel
+    # pays minutes of compile; cached reruns start in seconds (VERDICT r3
+    # weak #7)
+    from gaussian_process_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--centers", type=int, default=3)
     ap.add_argument("--n-samples", type=int, default=100)

@@ -11,6 +11,11 @@ from gaussian_process_tpu.gp.regression import (
     CGPosterior,
 )
 
+from gaussian_process_tpu.gp.whitened import (
+    WhitenedPosterior,
+    whitened_posterior,
+    whitened_lml,
+)
 from gaussian_process_tpu.gp.classification import (
     BinaryLaplaceState,
     BinaryPrediction,
@@ -38,6 +43,9 @@ __all__ = [
     "posterior_mean_cg",
     "posterior_cg",
     "CGPosterior",
+    "WhitenedPosterior",
+    "whitened_posterior",
+    "whitened_lml",
     "BinaryLaplaceState",
     "BinaryPrediction",
     "laplace_fit",

@@ -124,8 +124,14 @@ def posterior(
 
     with jax.named_scope("gp.predict"):
         # mean via K_s^T alpha (not v^T z_y): mathematically identical, but
-        # keeps the mean's error budget independent of the HIGH-precision v
-        # solve above; this GEMM is only 2nm FLOPs.
+        # avoids compounding the v columns' HIGH-precision error into the
+        # mean; this GEMM is only 2nm FLOPs. NOTE the mean is NOT fully
+        # independent of the HIGH forward solve — alpha is back-solved from
+        # z_y, which shares the batched HIGH solve with v — so the mean
+        # inherits HIGH-level error through that one column (measured r3:
+        # rel mean 3.27e-4 vs the 5e-4 gate, ~1.5x margin — thin; a
+        # separate HIGHEST single-RHS z_y solve would cost ~1 ms of
+        # latency-bound TRSM, traded away deliberately).
         mean = jnp.dot(
             K_s.T, alpha, preferred_element_type=K_s.dtype,
             precision=jax.lax.Precision.HIGHEST,

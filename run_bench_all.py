@@ -4,17 +4,31 @@ n=32768 / cg100k (mean+variance) / scaling.
 
 Each mode runs in its own subprocess (bench.py reads GP_BENCH_MODE once at
 import; a fresh process also keeps one mode's compile cache pressure and
-device state from polluting the next measurement). Rows are appended to the
-output JSON as they land, so a crash mid-sweep still leaves a valid partial
-artifact.
+device state from polluting the next measurement).
+
+Rows MERGE into the existing artifact (VERDICT.md round 3, weak #2: the old
+overwrite semantics let a partial 2-mode re-run destroy the committed
+6-mode artifact). A mode's row is replaced only when that mode actually
+ran this invocation; rows for modes not re-measured survive with their
+original timestamps. The merged file is rewritten after every mode, so a
+crash mid-sweep still leaves a valid artifact. If ``--out`` does not exist
+yet, rows are seeded from the newest ``BENCH_ALL_r*.json`` present (so a
+new round's artifact starts from the previous round's evidence instead of
+empty).
+
+A hung mode (subprocess timeout) records a failure row and the sweep
+CONTINUES with the remaining modes (ADVICE r3 low #5 — previously the
+TimeoutExpired escaped, crashed the sweep, and lost the accounting).
 
 Usage:
-    python run_bench_all.py [--out BENCH_ALL_r03.json] [--skip MODE ...]
+    python run_bench_all.py [--out BENCH_ALL_r04.json] [--skip MODE ...]
+                            [--only MODE ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -32,13 +46,36 @@ MODES = [
 ]
 
 
+def _load_existing(out_path: str) -> list:
+    """Rows to merge into: the out file itself, else the newest committed
+    BENCH_ALL artifact (previous round's evidence)."""
+    candidates = [out_path]
+    if not os.path.exists(out_path):
+        prior = sorted(glob.glob("BENCH_ALL_r*.json"))
+        if prior:
+            candidates = [prior[-1]]
+    for path in candidates:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            rows = data.get("rows", [])
+            if path != out_path:
+                print(f"[run_bench_all] seeding rows from {path}", flush=True)
+            return rows
+        except (OSError, json.JSONDecodeError):
+            continue
+    return []
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_ALL_r03.json")
+    ap.add_argument("--out", default="BENCH_ALL_r04.json")
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these mode keys (e.g. solve chol_n10240)")
     args = ap.parse_args()
 
-    rows = []
+    rows = _load_existing(args.out)
     meta = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     try:
         import jax
@@ -47,49 +84,76 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         meta["device"] = f"unavailable: {e}"
 
+    def write():
+        with open(args.out, "w") as f:
+            json.dump({"meta": meta, "rows": rows}, f, indent=1)
+
+    write()
     for mode, extra, tmo in MODES:
         key = mode + ("" if "GP_BENCH_N" not in extra else f"_n{extra['GP_BENCH_N']}")
         if mode in args.skip or key in args.skip:
             print(f"[run_bench_all] skip {key}", flush=True)
+            continue
+        if args.only is not None and mode not in args.only and key not in args.only:
             continue
         env = dict(os.environ)
         env["GP_BENCH_MODE"] = mode
         env.update(extra)
         print(f"[run_bench_all] running {key} ...", flush=True)
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "bench.py"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=tmo,
-        )
-        dt = time.time() - t0
-        stderr_tail = proc.stderr.strip().splitlines()[-8:]
-        if proc.returncode != 0:
-            rows.append(
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        new_rows = []
+        try:
+            proc = subprocess.run(
+                [sys.executable, "bench.py"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=tmo,
+            )
+        except subprocess.TimeoutExpired:
+            dt = time.time() - t0
+            new_rows.append(
                 {
                     "mode": key,
                     "ok": False,
-                    "returncode": proc.returncode,
-                    "stderr_tail": stderr_tail,
+                    "error": "timeout",
+                    "timeout_s": tmo,
                     "wall_s": round(dt, 1),
+                    "timestamp": stamp,
                 }
             )
-            print(f"[run_bench_all] {key} FAILED rc={proc.returncode}", flush=True)
+            print(f"[run_bench_all] {key} TIMED OUT after {tmo}s", flush=True)
         else:
-            for line in proc.stdout.strip().splitlines():
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                rec["mode"] = key
-                rec["ok"] = True
-                rec["wall_s"] = round(dt, 1)
-                rows.append(rec)
-            print(f"[run_bench_all] {key} done in {dt:.0f}s", flush=True)
-        with open(args.out, "w") as f:
-            json.dump({"meta": meta, "rows": rows}, f, indent=1)
+            dt = time.time() - t0
+            stderr_tail = proc.stderr.strip().splitlines()[-8:]
+            if proc.returncode != 0:
+                new_rows.append(
+                    {
+                        "mode": key,
+                        "ok": False,
+                        "returncode": proc.returncode,
+                        "stderr_tail": stderr_tail,
+                        "wall_s": round(dt, 1),
+                        "timestamp": stamp,
+                    }
+                )
+                print(f"[run_bench_all] {key} FAILED rc={proc.returncode}", flush=True)
+            else:
+                for line in proc.stdout.strip().splitlines():
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    rec["mode"] = key
+                    rec["ok"] = True
+                    rec["wall_s"] = round(dt, 1)
+                    rec["timestamp"] = stamp
+                    new_rows.append(rec)
+                print(f"[run_bench_all] {key} done in {dt:.0f}s", flush=True)
+        # MERGE: replace only this mode's rows, keep everything else
+        rows = [r for r in rows if r.get("mode") != key] + new_rows
+        write()
 
     bad = [r for r in rows if not r.get("ok")]
     print(f"[run_bench_all] wrote {args.out}: {len(rows)} rows, {len(bad)} failures")

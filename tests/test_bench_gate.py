@@ -37,3 +37,33 @@ def test_gate_fails_on_mean_alone():
     b = _bench()
     with pytest.raises(SystemExit):
         b.check_parity_gate(5e-3, 1e-6)
+
+
+def test_gate_fails_closed_on_nan():
+    # ADVICE r3 medium #1: `err > gate` is False for NaN, so the old
+    # formulation let a totally broken run (NaN mean/LML) ship through the
+    # gate. NaN in ANY position must now fail.
+    b = _bench()
+    nan = float("nan")
+    for mean_err, lml_err in [(nan, 1e-6), (1e-5, nan), (nan, nan)]:
+        with pytest.raises(SystemExit):
+            b.check_parity_gate(mean_err, lml_err)
+    with pytest.raises(SystemExit):
+        b.check_parity_gate(1e-5, 1e-6, var_err=nan)
+
+
+def test_gate_fails_on_var_alone():
+    # ADVICE r3 low #4: variance is the one reduced-precision quantity
+    # (HIGH v solve) — it needs its own gate.
+    b = _bench()
+    b.check_parity_gate(1e-5, 1e-6, var_err=1e-4)  # passes
+    with pytest.raises(SystemExit):
+        b.check_parity_gate(1e-5, 1e-6, var_err=5e-2)
+
+
+def test_committed_reference_lookup():
+    # the contention defense reads the newest committed BENCH_ALL row
+    b = _bench()
+    ref = b._committed_reference_ms("exact_gp_regression_solve_n8192")
+    assert ref is not None and 1.0 < ref < 100.0
+    assert b._committed_reference_ms("no_such_metric_xyz") is None

@@ -122,6 +122,25 @@ class TestBlockedTriSolve:
         X0 = solve_triangular(L.T if trans else L, B, lower=not trans)
         np.testing.assert_allclose(X, X0, rtol=1e-7, atol=1e-8)
 
+    @pytest.mark.parametrize("trans", [False, True])
+    def test_shared_panel_inverses(self, rng, small_threshold, trans):
+        """blocked_tri_solve(invs=panel_inverses(L)) — the exact reuse
+        pattern gp/regression.py's blocked branch relies on (one inversion
+        pass shared by the forward and the transposed solve) — must match
+        scipy in both directions (ADVICE r3 medium #2)."""
+        n = 608
+        L = np.linalg.cholesky(_spd(rng, n))
+        B = rng.standard_normal((n, 8))
+        invs = blocked.panel_inverses(jnp.asarray(L), block=128)
+        X = np.asarray(
+            blocked.blocked_tri_solve(
+                jnp.asarray(L), jnp.asarray(B), trans=trans, block=128,
+                invs=invs,
+            )
+        )
+        X0 = solve_triangular(L.T if trans else L, B, lower=not trans)
+        np.testing.assert_allclose(X, X0, rtol=1e-7, atol=1e-8)
+
     def test_vector_rhs(self, rng, small_threshold):
         n = 384
         L = np.linalg.cholesky(_spd(rng, n))
