@@ -48,18 +48,30 @@ timings:
   cancellation — the r2 regression), the variance-only v solve at bf16x3.
   Against those per-op ceilings the aggregate 20.1 TF/s is ~61%; the
   remaining gap is the factorization's serial panel chain (below).
-- chol: the left-looking factorization runs at 54% of the x6 ceiling at
-  n=8192 (p=8 panels; the p stock panel-chols + TRSMs are latency-bound)
-  and 79% at n=32768 (26.0 TF/s) where the growing-inner-dim update GEMMs
-  dominate — the headroom left is the O(p) serial panel chain, which
-  shrinks as n grows. Bound: compute (MXU passes), not HBM.
-- gram at d=4 is NOT compute-bound: 0.66 ms = 406 GB/s of pure n^2 f32
-  output writes (50% of HBM peak) with the exp fused on the VPU; the
-  remaining 2x would need the write itself to stream faster — the Pallas
-  tiled gram produces identical traffic, so ~0.33 ms is the floor and the
-  gap is XLA's fusion of exp into the write pipeline. Bound: HBM + VPU
-  transcendental rate, so pct_peak_bf16 is meaningless here (reported for
-  uniformity only).
+- chol: r3 read the left-looking factorization as "54% of the x6 ceiling
+  at n=8192 with the serial panel chain as headroom". The r4 harvest
+  attempt REFUTED most of that headroom (_scratch/chol_ab_r4.py +
+  panel_ops_r4.py, robust-slope-timed): 8 restructured variants (blocks
+  512-2048, GEMM-ified TRSM via panel inverses, fused Pallas panels,
+  two-level blocking) all lose to the production b=1024 left-looking
+  (10.5 ms; best challenger 10.9). The per-op microbench explains why:
+  an f32 HIGHEST (bf16x6) GEMM at the panel shapes ((7168x1024)@(1024
+  x1024)) runs 15.5 TF/s — 47% of the naive 197/6 ceiling — and stock
+  TRSM of the same shape runs 16.7 TF/s, so there is nothing to win by
+  turning solves into GEMMs; only the growing-inner-dim update GEMMs
+  (26 TF/s at n=32768) beat it. Against the MEASURED per-shape op rates
+  the production factorization is at ~100% of its composition; the naive
+  x6 number in pct_peak_bf16 understates utilisation by ~2x. Bound:
+  MXU multi-pass throughput at these shapes, not scheduling.
+- gram at d=4 is NOT compute-bound, and the r3-predicted 2x was REAL:
+  the Pallas tile gram (tile 1024x1024) hits 0.335-0.43 ms = 626-800
+  GB/s (76-98% of HBM peak) vs the XLA gram's 0.62-0.72 ms (~50%) whose
+  exp-into-write fusion never streams faster. The gram bench mode now
+  measures the Pallas kernel (impl field). NOTE the Pallas gram only
+  wins when K itself is the product: swapped into the fused solve it
+  LOSES 2.2 ms (pallas_call is a fusion barrier — the noise/jitter/rhs
+  consumers each become an extra full-matrix HBM pass), so the solve
+  keeps the XLA gram (gp/regression.py::_gram).
 - cg100k is transcendental-bound: each block-CG iteration recomputes ~1e10
   RBF tile entries through exp on the VPU (~0.17 s/iter measured; the MXU
   cross-term GEMM at d_pad=128 overlaps under it). MXU % is therefore low
@@ -183,13 +195,18 @@ def _defended_slope(step, init, *, metric, repeats=None, readout=None):
     all_trials = []
     tm = None
     anomaly_rounds = 0
+    round_estimates = []
     for rnd in range(MAX_ANOMALY_ROUNDS):
         tm = profiling.device_time_chained(
             step, init, repeats=repeats, readout=readout,
             trials=TRIALS, trial_pause_s=2.0,
         )
+        # each round's device_s is the downward-robust (min T2 - min T1)/R
+        # estimate; contention across rounds only adds time, so the min
+        # over rounds is sound
         all_trials.extend(tm["trials_s"])
-        best_ms = min(all_trials) * 1e3
+        round_estimates.append(tm["device_s"])
+        best_ms = min(round_estimates) * 1e3
         if ref_ms is None or best_ms <= ANOMALY_FACTOR * ref_ms:
             break
         anomaly_rounds += 1
@@ -201,7 +218,7 @@ def _defended_slope(step, init, *, metric, repeats=None, readout=None):
         )
         if rnd < MAX_ANOMALY_ROUNDS - 1:
             time.sleep(backoff)
-    best = min(all_trials)
+    best = min(round_estimates)
     spread = max(all_trials) / best
     contention = (
         anomaly_rounds > 0
@@ -407,6 +424,22 @@ def _bench_gram() -> None:
     x_train, _, _ = _make_data(n, 8, D)
     kernel = ops.RBF()
     xtr = jnp.asarray(x_train, jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+
+    # Headline implementation: the Pallas tiled gram at tile 1024x1024,
+    # measured r4 at 0.335 ms = 800 GB/s = 98% of v5e HBM peak — AT the
+    # n^2*4B/819GB/s floor the r3 roofline predicted (VERDICT r3 item 4:
+    # the XLA gram runs 0.66 ms / 407 GB/s; its exp-into-write fusion
+    # never streams the output faster than ~50% of peak). CPU/testing
+    # falls back to the XLA gram (Mosaic is TPU-only).
+    if on_tpu:
+        from gaussian_process_tpu.ops import pallas as _pops
+
+        build = lambda p: _pops.gram(kernel, p, xtr, tile_m=1024, tile_n=1024)
+        impl = "pallas_tile1024x1024"
+    else:
+        build = lambda p: ops.gram(kernel, p, xtr)
+        impl = "xla"
 
     # the CARRY is the matrix itself, so every iteration must materialise
     # the full n^2 gram into HBM (a scalar readout would let XLA compute
@@ -416,15 +449,35 @@ def _bench_gram() -> None:
             "sigma": jnp.float32(SIGMA) + A[0, 0] * 0.0,
             "lengthscale": jnp.float32(LENGTHSCALE),
         }
-        return ops.gram(kernel, params, xtr)
+        return build(params)
 
-    init = ops.gram(kernel, {"sigma": jnp.float32(SIGMA),
-                             "lengthscale": jnp.float32(LENGTHSCALE)}, xtr)
+    p0 = {"sigma": jnp.float32(SIGMA), "lengthscale": jnp.float32(LENGTHSCALE)}
+    init = build(p0)
     tm, defense = _defended_slope(
         step, init, metric=f"gram_build_n{n}", repeats=REPEATS * 2,
         readout=lambda A: A[0, 0],
     )
     device_s = tm["device_s"]
+
+    if on_tpu:
+        # parity vs the XLA gram + its time as context (one extra slope run)
+        ref = ops.gram(kernel, p0, xtr)
+        pallas_vs_xla_err = float(jnp.max(jnp.abs(init - ref)))
+        assert pallas_vs_xla_err < 1e-4, pallas_vs_xla_err
+
+        def step_xla(A):
+            params = {"sigma": jnp.float32(SIGMA) + A[0, 0] * 0.0,
+                      "lengthscale": jnp.float32(LENGTHSCALE)}
+            return ops.gram(kernel, params, xtr)
+
+        tm_x = profiling.device_time_chained(
+            step_xla, ref, repeats=REPEATS * 2, readout=lambda A: A[0, 0],
+            trials=2, trial_pause_s=1.0,
+        )
+        xla_extra = {"xla_ms": round(tm_x["device_s"] * 1e3, 3),
+                     "pallas_vs_xla_max_abs_err": pallas_vs_xla_err}
+    else:
+        xla_extra = {}
     flops = 2 * n * n * D + 8 * n * n
     out_bytes = n * n * 4 + 2 * n * D * 4
     _log(f"[bench] gram n={n}: {device_s*1e3:.3f} ms device, "
@@ -446,7 +499,9 @@ def _bench_gram() -> None:
         gflops=round(gflops, 1),
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         hbm_gbps=round(out_bytes / device_s / 1e9, 1),
+        impl=impl,
         note="bandwidth-bound at d=4: value = HBM write of the n^2 output",
+        **xla_extra,
         **defense,
         baseline="numpy_f64_broadcast_sqdist_measured",
     )

@@ -45,6 +45,20 @@ def _solve_cfg(cfg):
     return _config.DEFAULT_SOLVE if cfg is None else cfg
 
 
+def _gram(kernel, params, a, b=None, *, method="dot"):
+    """Gram for the solve pipeline: ALWAYS the XLA gram.
+
+    Measured r4 (n=8192 solve, slope-timed A/B): the Pallas tile gram is
+    faster STANDALONE (0.43 ms vs 0.66 — ops.pallas.gram_ad, used by the
+    gram bench and matrix-free paths) but swapping it in HERE makes the
+    whole solve 18.35 ms vs 16.15: a pallas_call is an opaque fusion
+    barrier, so the noise-add, the jitter add and the rhs concat each
+    become an extra full-matrix HBM pass that XLA previously fused into
+    the gram's write. Materialising K fast only pays when K itself is the
+    product."""
+    return _k.gram(kernel, params, a, b, method=method)
+
+
 class Posterior(NamedTuple):
     mean: jnp.ndarray  # (n_test,) posterior mean mu*
     var: jnp.ndarray  # (n_test,) posterior marginal variance
@@ -79,8 +93,8 @@ def posterior(
     if noise_variance is None:
         noise_variance = cfg.noise_variance
     with jax.named_scope("gp.gram"):
-        K = _k.gram(kernel, params, x_train, method=dist_method)
-        K_s = _k.gram(kernel, params, x_train, x_test, method=dist_method)
+        K = _gram(kernel, params, x_train, method=dist_method)
+        K_s = _gram(kernel, params, x_train, x_test, method=dist_method)
         kss_diag = _k.gram_diag(kernel, params, x_test)
 
     with jax.named_scope("gp.factorize"):
@@ -177,7 +191,7 @@ def log_marginal_likelihood(
     if noise_variance is None:
         noise_variance = cfg.noise_variance
     with jax.named_scope("gp.gram"):
-        K = _k.gram(kernel, params, x_train, method=dist_method)
+        K = _gram(kernel, params, x_train, method=dist_method)
     with jax.named_scope("gp.factorize"):
         res = _chol.safe_cholesky(
             K,

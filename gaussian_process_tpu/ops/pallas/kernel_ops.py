@@ -447,3 +447,57 @@ def _build_common(kernel, params, x1, x2, same, tile_m, tile_n, dtype):
     want_l2 = _k.needs_l2(k_nw)
     body = _make_tile_eval(k_nw, treedef, n_leaves, want_l2)
     return body, white_idx, params_vec, x1p, x2p, (n, m, n_pad, m_pad, d_pad)
+
+
+# ---------------------------------------------------------------- gram_ad
+
+
+@functools.lru_cache(maxsize=32)
+def _make_gram_ad(kernel, same: bool, tile_m: int, tile_n: int):
+    """Differentiable Pallas gram: forward = the Mosaic tile kernel above;
+    backward = ``jax.vjp`` of the XLA gram (the Pallas kernels are the
+    inference fast path — module docstring — so gradients re-derive through
+    the mathematically identical XLA expression; the extra XLA gram only
+    ever executes when someone differentiates). Cached per
+    (kernel, same, tiles) — kernels are frozen dataclasses, hashable."""
+
+    @jax.custom_vjp
+    def g(params, x1, x2):
+        return gram(kernel, params, x1, None if same else x2,
+                    tile_m=tile_m, tile_n=tile_n)
+
+    def fwd(params, x1, x2):
+        return g(params, x1, x2), (params, x1, x2)
+
+    def bwd(res, ct):
+        params, x1, x2 = res
+        if same:
+            _, vjp = jax.vjp(lambda p, a: _k.gram(kernel, p, a), params, x1)
+            d_params, d_x1 = vjp(ct)
+            return d_params, d_x1, jnp.zeros_like(x2)
+        _, vjp = jax.vjp(
+            lambda p, a, b: _k.gram(kernel, p, a, b), params, x1, x2
+        )
+        return vjp(ct)
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def gram_ad(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x1: jnp.ndarray,
+    x2: Optional[jnp.ndarray] = None,
+    *,
+    tile_m: int = 1024,
+    tile_n: int = 1024,
+) -> jnp.ndarray:
+    """Drop-in ``ops.gram`` replacement on TPU: Pallas forward (measured r4
+    at n=8192: 0.43 ms vs 0.66 ms XLA — the XLA exp-into-write fusion never
+    exceeds ~50% of HBM peak, VERDICT r3 item 4), XLA-derived gradients.
+
+    Tile 1024x1024 is the measured optimum on v5e (800 GB/s best observed);
+    stationary kernels only (callers dispatch, see gp/regression.py)."""
+    fn = _make_gram_ad(kernel, x2 is None, tile_m, tile_n)
+    return fn(params, x1, x1 if x2 is None else x2)

@@ -131,26 +131,35 @@ def device_time_chained(
     f1, f2 = make(repeats), make(2 * repeats)
     jax.device_get(f1(init))  # compile + warm both programs
     jax.device_get(f2(init))
-    trial_list: List[float] = []
-    t1 = t2 = 0.0
+    t1s: List[float] = []
+    t2s: List[float] = []
     for k in range(max(trials, 1)):
         if k > 0 and trial_pause_s > 0:
             time.sleep(trial_pause_s)
         t1 = time.perf_counter()
         jax.device_get(f1(init))
-        t1 = time.perf_counter() - t1
+        t1s.append(time.perf_counter() - t1)
         t2 = time.perf_counter()
         jax.device_get(f2(init))
-        t2 = time.perf_counter() - t2
-        trial_list.append(max((t2 - t1) / repeats, 1e-9))
-    per_iter = min(trial_list)
+        t2s.append(time.perf_counter() - t2)
+    # Estimator: (min T(2R) - min T(R)) / R, NOT min over per-pair slopes.
+    # Each timing is a physical LOWER bound plus nonnegative noise
+    # (contention only adds time), so min() recovers the clean T(R) and
+    # T(2R) separately and the slope cannot be biased DOWNWARD. A per-pair
+    # slope, by contrast, goes bogus-low when a contention spike lands on
+    # its T(R) (observed on the axon tunnel: a 4.17 ms "trial" for a
+    # >10 ms factorization — 134% of the hardware ceiling).
+    per_iter = max((min(t2s) - min(t1s)) / repeats, 1e-9)
+    trial_list = [
+        max((b - a) / repeats, 1e-9) for a, b in zip(t1s, t2s)
+    ]  # raw per-pair slopes, for spread visibility only
     return {
         "device_s": per_iter,
         "trials_s": trial_list,
-        "t_r_s": t1,
-        "t_2r_s": t2,
+        "t_r_s": min(t1s),
+        "t_2r_s": min(t2s),
         "repeats": repeats,
-        "fixed_overhead_s": max(t1 - per_iter * repeats, 0.0),
+        "fixed_overhead_s": max(min(t1s) - per_iter * repeats, 0.0),
     }
 
 

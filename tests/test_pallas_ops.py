@@ -171,3 +171,50 @@ class TestGramMatvecVJP:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), g1, g2
         )
+
+
+class TestGramAD:
+    """gram_ad: Pallas forward + XLA-derived custom-VJP gradients — the
+    production gram dispatch in gp/regression.py (r4)."""
+
+    def test_forward_matches_xla(self, rng):
+        from gaussian_process_tpu.ops import pallas as pops
+        from gaussian_process_tpu.ops import kernels as k_mod
+
+        x = jnp.asarray(rng.uniform(-5, 5, (48, 3)), jnp.float32)
+        k = ops.RBF() + ops.White()
+        p = (ops.RBF().init_params(), {"amplitude": jnp.asarray(0.3, jnp.float32)})
+        got = pops.gram_ad(k, p, x)
+        want = k_mod.gram(k, p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        # cross-set: White contributes nothing
+        x2 = jnp.asarray(rng.uniform(-5, 5, (17, 3)), jnp.float32)
+        got_c = pops.gram_ad(k, p, x, x2)
+        want_c = k_mod.gram(k, p, x, x2)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grad_matches_xla_gram(self, rng):
+        from gaussian_process_tpu.ops import pallas as pops
+        from gaussian_process_tpu.ops import kernels as k_mod
+
+        x = jnp.asarray(rng.uniform(-5, 5, (32, 2)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+        k = ops.RBF()
+
+        def loss_pallas(p, x):
+            return jnp.sum(w * pops.gram_ad(k, p, x))
+
+        def loss_xla(p, x):
+            return jnp.sum(w * k_mod.gram(k, p, x))
+
+        p = {"sigma": jnp.asarray(1.3, jnp.float32),
+             "lengthscale": jnp.asarray(0.8, jnp.float32)}
+        gp_, gx_ = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+        gp0, gx0 = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(float(gp_["sigma"]), float(gp0["sigma"]), rtol=1e-4)
+        np.testing.assert_allclose(float(gp_["lengthscale"]),
+                                   float(gp0["lengthscale"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gx_), np.asarray(gx0),
+                                   rtol=1e-4, atol=1e-5)
