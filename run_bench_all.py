@@ -46,6 +46,15 @@ MODES = [
 ]
 
 
+def merge_rows(existing: list, key: str, new_rows: list) -> list:
+    """Replace only ``key``'s rows; keep every other mode's evidence.
+
+    This is the invariant VERDICT r3 weak #2 demanded: a partial re-run
+    (even one that fails or times out) can only ever replace the rows of
+    the modes it actually ran."""
+    return [r for r in existing if r.get("mode") != key] + new_rows
+
+
 def _load_existing(out_path: str) -> list:
     """Rows to merge into: the out file itself, else the newest committed
     BENCH_ALL artifact (previous round's evidence)."""
@@ -151,8 +160,7 @@ def main() -> None:
                     rec["timestamp"] = stamp
                     new_rows.append(rec)
                 print(f"[run_bench_all] {key} done in {dt:.0f}s", flush=True)
-        # MERGE: replace only this mode's rows, keep everything else
-        rows = [r for r in rows if r.get("mode") != key] + new_rows
+        rows = merge_rows(rows, key, new_rows)
         write()
 
     bad = [r for r in rows if not r.get("ok")]

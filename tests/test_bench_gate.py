@@ -67,3 +67,50 @@ def test_committed_reference_lookup():
     ref = b._committed_reference_ms("exact_gp_regression_solve_n8192")
     assert ref is not None and 1.0 < ref < 100.0
     assert b._committed_reference_ms("no_such_metric_xyz") is None
+
+
+class TestRunBenchAllMerge:
+    """run_bench_all must MERGE rows, never overwrite other modes'
+    evidence (VERDICT r3 weak #2: a partial 2-mode re-run destroyed the
+    committed 6-mode artifact)."""
+
+    def _rba(self):
+        import run_bench_all
+
+        return run_bench_all
+
+    def test_merge_replaces_only_rerun_mode(self):
+        rba = self._rba()
+        existing = [
+            {"mode": "gram", "value": 0.7, "ok": True},
+            {"mode": "solve", "value": 16.2, "ok": True},
+            {"mode": "cg100k", "value": 7.5, "ok": True},
+        ]
+        out = rba.merge_rows(existing, "solve", [{"mode": "solve", "value": 15.0, "ok": True}])
+        by_mode = {r["mode"]: r for r in out}
+        assert by_mode["solve"]["value"] == 15.0
+        assert by_mode["gram"]["value"] == 0.7  # untouched evidence survives
+        assert by_mode["cg100k"]["value"] == 7.5
+        assert len(out) == 3
+
+    def test_failed_rerun_still_replaces_only_its_mode(self):
+        rba = self._rba()
+        existing = [{"mode": "gram", "value": 0.7, "ok": True},
+                    {"mode": "solve", "value": 16.2, "ok": True}]
+        out = rba.merge_rows(existing, "solve", [{"mode": "solve", "ok": False, "error": "timeout"}])
+        by_mode = {r["mode"]: r for r in out}
+        assert by_mode["gram"]["ok"] and not by_mode["solve"]["ok"]
+
+    def test_load_existing_seeds_from_prior_round(self, tmp_path, monkeypatch):
+        import json
+
+        rba = self._rba()
+        monkeypatch.chdir(tmp_path)
+        with open("BENCH_ALL_r03.json", "w") as f:
+            json.dump({"meta": {}, "rows": [{"mode": "gram", "ok": True}]}, f)
+        rows = rba._load_existing("BENCH_ALL_r04.json")  # does not exist yet
+        assert rows == [{"mode": "gram", "ok": True}]
+        # once the out file exists it wins over older artifacts
+        with open("BENCH_ALL_r04.json", "w") as f:
+            json.dump({"meta": {}, "rows": [{"mode": "solve", "ok": True}]}, f)
+        assert rba._load_existing("BENCH_ALL_r04.json") == [{"mode": "solve", "ok": True}]
