@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,9 +107,9 @@ def whitened_posterior(
         wkernel, wparams, xc, yh, xtc,
         noise_variance=noise_variance / (s * s), cfg=cfg,
     )
-    # de-whitening is exact; the log-scale LML shift uses f64 on host so it
-    # adds no error of its own
-    lml = jnp.asarray(post.lml, jnp.float64) - n * float(np.log(s))
+    # de-whitening is exact; the log-scale LML shift happens in host f64
+    # (device f64 would warn/downcast when x64 is disabled)
+    lml = np.float64(jax.device_get(post.lml)) - n * np.log(np.float64(s))
     return WhitenedPosterior(
         mean=post.mean * s,
         var=post.var * (s * s),
@@ -157,4 +158,4 @@ def whitened_lml(
         wkernel, wparams, xc, yh, noise_variance=noise_variance / (s * s),
         cfg=cfg,
     )
-    return jnp.asarray(lml_hat, jnp.float64) - n * float(np.log(s))
+    return np.float64(jax.device_get(lml_hat)) - n * np.log(np.float64(s))

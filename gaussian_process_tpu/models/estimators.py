@@ -116,6 +116,27 @@ class GPRegressor:
             dist_method=self.dist_method,
         )
 
+    def posterior_whitened(
+        self, x_test: jnp.ndarray, *, dtype=jnp.float32
+    ) -> gp.WhitenedPosterior:
+        """f32-safe whitened posterior (``gp.whitened_posterior``): inputs
+        centered, targets standardised via an exact Scaled-kernel
+        reparameterisation — the TPU path for ill-conditioned data (e.g.
+        year-valued CO2 inputs with book-scale amplitudes, where the raw
+        f32 dot-trick sqdist and 1e4-magnitude kernel entries break).
+        Stationary kernels only; accuracy contract in
+        tests/test_whitened.py."""
+        self._check_fitted()
+        return gp.whitened_posterior(
+            self.kernel,
+            self.params,
+            self.x_train,
+            self.y_train,
+            jnp.asarray(x_test),
+            noise_variance=self.noise_variance,
+            dtype=dtype,
+        )
+
     def posterior_cg(self, x_test: jnp.ndarray, **kwargs) -> gp.CGPosterior:
         # Matrix-free posterior (mean + variance): the large-n path where K
         # cannot be materialised (Pallas tile matvec + Nystrom-preconditioned

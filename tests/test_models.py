@@ -93,3 +93,20 @@ def test_regressor_cg_solver_matches_cholesky(rng):
     # default CG tolerance (1e-6 residual) -> ~1e-4 relative agreement
     np.testing.assert_allclose(mean_g, mean_c, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(std_g, std_c, rtol=1e-3, atol=1e-6)
+
+
+class TestPosteriorWhitened:
+    def test_matches_plain_posterior_f64(self, rng):
+        """Facade route to gp.whitened_posterior: in f64 the whitening is a
+        reparameterisation, so it must reproduce posterior() exactly."""
+        import jax.numpy as jnp
+
+        x = rng.uniform(-5, 5, (64, 2))
+        y = np.sin(x.sum(1)) + 0.05 * rng.standard_normal(64)
+        xt = rng.uniform(-5, 5, (16, 2))
+        m = GPRegressor(ops.RBF(), noise_variance=1e-3).fit(x, y)
+        w = m.posterior_whitened(xt, dtype=jnp.float64)
+        ref = m.posterior(xt)
+        np.testing.assert_allclose(np.asarray(w.mean), np.asarray(ref.mean), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(w.std), np.asarray(ref.std), atol=1e-9)
+        assert abs(float(w.lml) - float(ref.lml)) < 1e-7
