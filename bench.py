@@ -28,6 +28,10 @@ Modes (GP_BENCH_MODE):
   the Pallas fused gram_matvec; K (42 GB f32) is never materialised.
   No real baseline can exist (dense f64 K alone is 84 GB); vs_baseline is
   the measured n=8192 NumPy solve extrapolated O(n^3), labelled as such.
+  Above n=150k the mode switches to gp.posterior_cg_segmented (exact-
+  resume CG in bounded device calls, scan-chunked Nystrom build): r4
+  measured n=204800 — 2x the north-star scale on one 16 GB chip — at
+  37 iters / 28.7 s including variance.
 - ``scaling`` — weak-scaling harness over mesh sizes 1/2/4/8 (SURVEY.md
   sec. 4 item 5): runs the full distributed posterior
   (sharded gram -> panel Cholesky -> block solves) at fixed n-per-device.
@@ -593,6 +597,12 @@ def _bench_cg100k() -> None:
     # and the block solve carries 17 RHS)
     max_iters = int(os.environ.get("GP_BENCH_CG_ITERS", 120))
     rank = int(os.environ.get("GP_BENCH_CG_RANK", 2048))
+    # beyond ~150k one monolithic solve exceeds the service's ~60 s
+    # single-execution watchdog (~0.7 s per matvec at 200k), so the bench
+    # switches to the segmented host loop (gp.posterior_cg_segmented:
+    # exact-resume CG in bounded device calls; identical math)
+    segmented = n > 150_000 or os.environ.get("GP_BENCH_CG_SEGMENTED") == "1"
+    segment_iters = int(os.environ.get("GP_BENCH_CG_SEGMENT_ITERS", 40))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-5.0, 5.0, (n, D)), jnp.float32)
     y = jnp.asarray(
@@ -606,15 +616,25 @@ def _bench_cg100k() -> None:
     params = {"sigma": jnp.float32(1.0), "lengthscale": jnp.float32(2.0)}
     noise = 1e-2
 
-    @jax.jit
-    def run(x, y, x_test):
-        post = gp.posterior_cg(
-            kernel, params, x, y, x_test,
-            noise_variance=noise, tol=1e-3, max_iters=max_iters,
-            test_chunk=m_test, use_pallas=True,
-            preconditioner="nystrom", precond_rank=rank,
-        )
-        return post.mean, post.var, post.iters, post.resnorm
+    if segmented:
+        def run(x, y, x_test):
+            post = gp.posterior_cg_segmented(
+                kernel, params, x, y, x_test,
+                noise_variance=noise, tol=1e-3, max_iters=max_iters,
+                segment_iters=segment_iters, test_chunk=m_test,
+                use_pallas=True, precond_rank=rank,
+            )
+            return post.mean, post.var, post.iters, post.resnorm
+    else:
+        @jax.jit
+        def run(x, y, x_test):
+            post = gp.posterior_cg(
+                kernel, params, x, y, x_test,
+                noise_variance=noise, tol=1e-3, max_iters=max_iters,
+                test_chunk=m_test, use_pallas=True,
+                preconditioner="nystrom", precond_rank=rank,
+            )
+            return post.mean, post.var, post.iters, post.resnorm
 
     # seconds-scale workload: plain wall-clock timing is honest here (the
     # ~25 ms tunnel RTT is <1% of the measurement; no chained program that

@@ -8,6 +8,7 @@ from gaussian_process_tpu.gp.regression import (
     sample_posterior,
     posterior_mean_cg,
     posterior_cg,
+    posterior_cg_segmented,
     CGPosterior,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "sample_posterior",
     "posterior_mean_cg",
     "posterior_cg",
+    "posterior_cg_segmented",
     "CGPosterior",
     "WhitenedPosterior",
     "whitened_posterior",

@@ -452,3 +452,149 @@ def posterior_mean_cg(
         noisy_mv, y_train, tol=tol, max_iters=max_iters, precond_diag=diag
     )
     return cross_mv(state.x), state
+
+
+def posterior_cg_segmented(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_test: jnp.ndarray,
+    *,
+    noise_variance: Optional[float] = None,
+    tol: Optional[float] = None,
+    max_iters: Optional[int] = None,
+    segment_iters: int = 40,
+    test_chunk: int = 8,
+    use_pallas: Optional[bool] = None,
+    precond_rank: Optional[int] = None,
+    checkpoint_cb=None,
+    cfg: Optional[_config.SolveConfig] = None,
+) -> CGPosterior:
+    """Matrix-free posterior like :func:`posterior_cg`, but as a host loop
+    of BOUNDED device calls: each call runs at most ``segment_iters`` CG
+    iterations and returns the full :class:`linalg.cg.CGState`, which the
+    next call resumes EXACTLY (conjugacy preserved — see cg_solve's
+    ``init_state``; this is not an x0 restart).
+
+    Why: (a) services that bound single-execution latency (watchdogs,
+    preemptible/donated TPU time) kill a monolithic 100+-iteration solve —
+    measured on the axon-tunnelled v5e, n = 204800 needs > 70 iterations
+    at ~0.7 s each and the worker kills executions at ~60 s; (b) the state
+    handed back between segments is a checkpoint: pass ``checkpoint_cb``
+    (called as ``checkpoint_cb(chunk_index, CGState)`` after every
+    segment) to persist it with utils.checkpoint and resume a multi-hour
+    solve after preemption (SURVEY.md §5 checkpoint/resume row).
+
+    The Nystrom preconditioner is built ONCE in its own jitted call and
+    then passed to every segment as a pytree argument (NamedTuple of
+    arrays), so no 100s-of-MB factor is ever baked into a compile payload.
+    Results match :func:`posterior_cg` to solver tolerance (tests).
+    """
+    cfg = _solve_cfg(cfg)
+    if noise_variance is None:
+        noise_variance = cfg.noise_variance
+    if tol is None:
+        tol = cfg.cg_tol
+    if max_iters is None:
+        max_iters = cfg.cg_max_iters
+    x_train = jnp.atleast_2d(x_train)
+    x_test = jnp.atleast_2d(x_test)
+    n = x_train.shape[0]
+    m = x_test.shape[0]
+
+    k_nw, p_nw, white_var = _k.split_white(kernel, params)
+    shift = noise_variance + (white_var if white_var is not None else 0.0)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and _k.is_stationary(kernel)
+    if precond_rank is None:
+        precond_rank = min(2048, max(512, n // 50))
+
+    from gaussian_process_tpu.linalg import nystrom as _nys
+
+    @jax.jit
+    def build_pre(p_nw, x):
+        return _nys.make_nystrom_preconditioner(
+            k_nw, p_nw, x, shift=shift, rank=min(precond_rank, n)
+        )
+
+    def _mv(p_nw, x, v):
+        if use_pallas:
+            from gaussian_process_tpu.ops import pallas as _pops
+
+            return _pops.gram_matvec(k_nw, p_nw, x, None, v) + shift * v
+        return _k.gram(k_nw, p_nw, x) @ v + shift * v
+
+    @jax.jit
+    def seg_first(p_nw, x, rhs, pre):
+        return _cg.cg_solve(
+            lambda v: _mv(p_nw, x, v), rhs, tol=tol, max_iters=max_iters,
+            precond_apply=pre.apply, max_new_iters=segment_iters,
+        )
+
+    @jax.jit
+    def seg_cont(p_nw, x, rhs, pre, state):
+        return _cg.cg_solve(
+            lambda v: _mv(p_nw, x, v), rhs, tol=tol, max_iters=max_iters,
+            precond_apply=pre.apply, init_state=state,
+            max_new_iters=segment_iters,
+        )
+
+    @jax.jit
+    def cross(p_nw, x, xc):
+        return _k.gram(k_nw, p_nw, x, xc)
+
+    pre = build_pre(p_nw, x_train)
+
+    chunk = min(test_chunk, m)
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    x_test_p = jnp.pad(x_test, ((0, m_pad - m), (0, 0)))
+    kss = _k.gram_diag(kernel, params, x_test_p)
+
+    means, vars_ = [], []
+    total_iters = 0
+    worst_res = 0.0
+    alpha = None
+    for c in range(n_chunks):
+        xc = x_test_p[c * chunk : (c + 1) * chunk]
+        Ks = cross(p_nw, x_train, xc)
+        rhs = jnp.concatenate([y_train[:, None], Ks], axis=1) if c == 0 else Ks
+        stop = float(tol) * max(
+            float(jnp.sqrt(jnp.max(jnp.sum(rhs * rhs, axis=0)))), 1e-30
+        )
+        state = seg_first(p_nw, x_train, rhs, pre)
+        if checkpoint_cb is not None:
+            checkpoint_cb(c, state)
+        while (
+            float(state.resnorm) > stop and int(state.iters) < max_iters
+        ):
+            prev_iters = int(state.iters)
+            state = seg_cont(p_nw, x_train, rhs, pre, state)
+            if checkpoint_cb is not None:
+                checkpoint_cb(c, state)
+            if int(state.iters) == prev_iters:
+                break  # no progress possible (cap reached inside)
+        U = state.x
+        if c == 0:
+            alpha = U[:, 0]
+            U = U[:, 1:]
+            Ks_v = Ks
+        else:
+            Ks_v = Ks
+        means.append(Ks_v.T @ alpha)
+        vars_.append(
+            kss[c * chunk : (c + 1) * chunk] - jnp.sum(Ks_v * U, axis=0)
+        )
+        total_iters += int(state.iters)
+        worst_res = max(worst_res, float(state.resnorm))
+
+    mean = jnp.concatenate(means)[:m]
+    var = jnp.maximum(jnp.concatenate(vars_)[:m], 0.0)
+    return CGPosterior(
+        mean=mean,
+        var=var,
+        std=jnp.sqrt(var),
+        iters=jnp.asarray(total_iters),
+        resnorm=jnp.asarray(worst_res, x_train.dtype),
+    )

@@ -44,6 +44,8 @@ def cg_solve(
     precond_apply: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     x0: Optional[jnp.ndarray] = None,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
+    init_state: Optional[CGState] = None,
+    max_new_iters: Optional[int] = None,
 ) -> CGState:
     """Solve A x = b for SPD A given only ``matvec`` (x -> A x).
 
@@ -54,6 +56,14 @@ def cg_solve(
     are sharded across a mesh axis (parallel/cg.py does this).
     Works on single vectors or (n, k) blocks of RHS (all columns iterate
     until the worst column converges).
+
+    ``init_state``: resume EXACTLY from a previous :class:`CGState` (the
+    search direction, preconditioned residual and rz carry over, so unlike
+    an x0 restart no conjugacy — and therefore no convergence rate — is
+    lost). ``max_new_iters``: cap the additional iterations this call may
+    run (``iters`` still counts total). Together these make the solve
+    segmentable: a host loop of bounded-latency device calls that can be
+    checkpointed between segments (gp.posterior_cg_segmented).
     """
     if dot is None:
         dot = lambda u, v: jnp.sum(u * v, axis=0)
@@ -68,16 +78,33 @@ def cg_solve(
     else:
         apply_M = lambda r: r
 
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x) if x0 is not None else b
-    z = apply_M(r)
-    p = z
-    rz = dot(r, z)
     bnorm = jnp.sqrt(jnp.max(dot(b, b)))
     stop = tol * jnp.maximum(bnorm, 1e-30)
+    iter_cap = jnp.asarray(max_iters)
+    if init_state is not None:
+        init = init_state
+        if max_new_iters is not None:
+            iter_cap = jnp.minimum(iter_cap, init.iters + max_new_iters)
+    else:
+        x = jnp.zeros_like(b) if x0 is None else x0
+        r = b - matvec(x) if x0 is not None else b
+        z = apply_M(r)
+        p = z
+        rz = dot(r, z)
+        init = CGState(
+            x=x,
+            r=r,
+            p=p,
+            z=z,
+            rz=rz,
+            iters=jnp.asarray(0),
+            resnorm=jnp.sqrt(jnp.max(dot(r, r))),
+        )
+        if max_new_iters is not None:
+            iter_cap = jnp.minimum(iter_cap, max_new_iters)
 
     def cond(s: CGState):
-        return (s.resnorm > stop) & (s.iters < max_iters)
+        return (s.resnorm > stop) & (s.iters < iter_cap)
 
     def body(s: CGState):
         Ap = matvec(s.p)
@@ -92,15 +119,6 @@ def cg_solve(
         resnorm = jnp.sqrt(jnp.max(dot(r, r)))
         return CGState(x, r, p, z, rz_new, s.iters + 1, resnorm)
 
-    init = CGState(
-        x=x,
-        r=r,
-        p=p,
-        z=z,
-        rz=rz,
-        iters=jnp.asarray(0),
-        resnorm=jnp.sqrt(jnp.max(dot(r, r))),
-    )
     return lax.while_loop(cond, body, init)
 
 

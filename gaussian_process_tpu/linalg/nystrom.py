@@ -66,6 +66,7 @@ def make_nystrom_preconditioner(
     rank: int = 512,
     key: Optional[jax.Array] = None,
     jitter: float = 1e-6,
+    row_chunk: Optional[int] = None,
 ) -> NystromPreconditioner:
     """Build the rank-``rank`` Nyström preconditioner for K(x, x) + shift I.
 
@@ -73,6 +74,16 @@ def make_nystrom_preconditioner(
     White variance into ``shift``, as the CG solvers already do).
     Landmarks are a uniform random subset (``key=None`` -> evenly strided
     subset, deterministic).
+
+    ``row_chunk``: build U in ``lax.scan`` row blocks of this size. The
+    dense build holds K_nm, its transpose, the TRSM result AND U
+    simultaneously (4x n*r floats — measured r4: rank 2048 at n = 204800
+    OOMs 16 GB HBM as a standalone program even though U itself is only
+    1.7 GB); the chunked build's workspace is O(row_chunk * rank) beside
+    the U output, at the cost of applying an explicit L_mm^{-T} as a GEMM
+    per chunk (preconditioner-quality arithmetic — CG corrects any
+    rounding). "auto"/None: chunk at 65536 rows when n * r would exceed
+    ~2^28 floats, else the dense build.
     """
     x = _k._dist._as_2d(x)
     n = x.shape[0]
@@ -86,15 +97,46 @@ def make_nystrom_preconditioner(
     K_mm = _k.gram(kernel, params, z)
     # relative jitter keeps chol(K_mm) sane when landmarks nearly coincide
     res = _chol.safe_cholesky(K_mm, initial_jitter=jitter)
-    K_nm = _k.gram(kernel, params, x, z)  # (n, r)
-    # U = K_nm L_mm^{-T}  <=>  U^T = L_mm^{-1} K_nm^T
-    Ut = lax.linalg.triangular_solve(
-        res.factor, K_nm.T, left_side=True, lower=True
-    )
-    U = Ut.T
-    G = jnp.dot(
-        Ut, U, preferred_element_type=U.dtype, precision=lax.Precision.HIGHEST
-    )
+
+    if row_chunk is None and n * r > (1 << 28):
+        row_chunk = 65536
+    if row_chunk is not None and n > row_chunk:
+        c = int(row_chunk)
+        n_pad = -(-n // c) * c
+        x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        valid = (jnp.arange(n_pad) < n).reshape(n_pad // c, c)
+        xb = x_pad.reshape(n_pad // c, c, x.shape[1])
+        Wt = lax.linalg.triangular_solve(
+            res.factor, jnp.eye(r, dtype=x.dtype), left_side=True, lower=True
+        ).T  # L_mm^{-T} (r, r)
+
+        def body(G_acc, inp):
+            x_c, m_c = inp
+            Kc = _k.gram(kernel, params, x_c, z)  # (c, r)
+            Uc = jnp.dot(
+                Kc, Wt, preferred_element_type=x.dtype,
+                precision=lax.Precision.HIGHEST,
+            )
+            Uc = jnp.where(m_c[:, None], Uc, 0.0)
+            G_acc = G_acc + jnp.dot(
+                Uc.T, Uc, preferred_element_type=x.dtype,
+                precision=lax.Precision.HIGHEST,
+            )
+            return G_acc, Uc
+
+        G, U_blocks = lax.scan(body, jnp.zeros((r, r), x.dtype), (xb, valid))
+        U = U_blocks.reshape(n_pad, r)[:n]
+    else:
+        K_nm = _k.gram(kernel, params, x, z)  # (n, r)
+        # U = K_nm L_mm^{-T}  <=>  U^T = L_mm^{-1} K_nm^T
+        Ut = lax.linalg.triangular_solve(
+            res.factor, K_nm.T, left_side=True, lower=True
+        )
+        U = Ut.T
+        G = jnp.dot(
+            Ut, U, preferred_element_type=U.dtype,
+            precision=lax.Precision.HIGHEST,
+        )
     G = G + jnp.asarray(shift, U.dtype) * jnp.eye(r, dtype=U.dtype)
     chol_G = _chol.safe_cholesky(G).factor
     return NystromPreconditioner(

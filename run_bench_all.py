@@ -42,6 +42,9 @@ MODES = [
     ("chol", {"GP_BENCH_N": "10240"}, 1800),
     ("chol", {"GP_BENCH_N": "32768", "GP_BENCH_SKIP_BASELINE": "1"}, 2400),
     ("cg100k", {}, 2400),
+    # 2x the north-star n on one 16 GB chip: segmented exact-resume CG
+    # (bounded device calls) + scan-chunked Nystrom build
+    ("cg100k", {"GP_BENCH_N": "204800", "GP_BENCH_CG_ITERS": "300"}, 2400),
     ("scaling", {}, 1800),
 ]
 

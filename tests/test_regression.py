@@ -253,3 +253,94 @@ class TestBlockedSolveBranch:
         assert calls["solve"] == 2 and calls["invs"] == 1, (
             "log_marginal_likelihood did not take the blocked branch", calls)
         np.testing.assert_allclose(routed, stock, rtol=1e-11)
+
+
+class TestSegmentedCG:
+    """posterior_cg_segmented: bounded-latency resumable segments must
+    reproduce the monolithic posterior_cg to solver tolerance, and the
+    exact-resume (init_state) path must not lose conjugacy."""
+
+    def test_matches_monolithic(self, rng):
+        n, m = 300, 20
+        x = rng.uniform(-5, 5, (n, 2))
+        y = rng.standard_normal(n)
+        xs = rng.uniform(-5, 5, (m, 2))
+        k = ops.RBF()
+        p = k.init_params()
+        mono = gp.posterior_cg(k, p, x, y, xs, noise_variance=1e-2,
+                               tol=1e-10, test_chunk=8)
+        seg = gp.posterior_cg_segmented(k, p, x, y, xs, noise_variance=1e-2,
+                                        tol=1e-10, segment_iters=7,
+                                        test_chunk=8, precond_rank=64)
+        np.testing.assert_allclose(np.asarray(seg.mean), np.asarray(mono.mean),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(seg.var), np.asarray(mono.var),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_exact_resume_preserves_convergence_rate(self, rng):
+        """Running k segments of s iters must land where one s*k-iter run
+        lands (same Krylov sequence) — the definition of exact resume."""
+        from gaussian_process_tpu.linalg import cg as cg_mod
+
+        n = 120
+        a = rng.standard_normal((n, n))
+        A = a @ a.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        mv = lambda v: jnp.asarray(A) @ v
+        full = cg_mod.cg_solve(mv, jnp.asarray(b), tol=0.0, max_iters=15)
+        state = cg_mod.cg_solve(mv, jnp.asarray(b), tol=0.0, max_iters=15,
+                                max_new_iters=5)
+        for _ in range(2):
+            state = cg_mod.cg_solve(mv, jnp.asarray(b), tol=0.0, max_iters=15,
+                                    init_state=state, max_new_iters=5)
+        assert int(state.iters) == int(full.iters) == 15
+        np.testing.assert_allclose(np.asarray(state.x), np.asarray(full.x),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_checkpoint_callback_sees_states(self, rng):
+        n, m = 200, 8
+        x = rng.uniform(-5, 5, (n, 2))
+        y = rng.standard_normal(n)
+        xs = rng.uniform(-5, 5, (m, 2))
+        k = ops.RBF()
+        seen = []
+        gp.posterior_cg_segmented(
+            k, k.init_params(), x, y, xs, noise_variance=1e-2, tol=1e-8,
+            segment_iters=5, precond_rank=32,
+            checkpoint_cb=lambda c, st: seen.append((c, int(st.iters))),
+        )
+        assert len(seen) >= 2  # multiple segments happened
+        iters = [i for _, i in seen]
+        assert iters == sorted(iters)  # states progress monotonically
+
+    def test_preemption_resume_via_checkpoint(self, rng, tmp_path):
+        """Kill-and-resume: persist the CGState mid-solve with
+        utils.checkpoint, 'restart', restore and continue — must land on
+        the monolithic answer (SURVEY.md §5 checkpoint/resume: 'resume
+        mid-hyperparameter-search and mid-Newton' extended to mid-CG)."""
+        from gaussian_process_tpu.linalg import cg as cg_mod
+        from gaussian_process_tpu.utils import checkpoint as ckpt
+
+        n = 150
+        a = rng.standard_normal((n, n))
+        A = a @ a.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        mv = lambda v: jnp.asarray(A) @ v
+
+        full = cg_mod.cg_solve(mv, jnp.asarray(b), tol=0.0, max_iters=12)
+
+        # phase 1: run 6 iters, checkpoint, "crash"
+        st = cg_mod.cg_solve(mv, jnp.asarray(b), tol=0.0, max_iters=12,
+                             max_new_iters=6)
+        path = ckpt.save(str(tmp_path / "cg"), st)
+
+        # phase 2: fresh restore (shapes from a zeroed template), continue
+        template = jax.tree_util.tree_map(jnp.zeros_like, st)
+        st2 = cg_mod.cg_solve(
+            mv, jnp.asarray(b), tol=0.0, max_iters=12,
+            init_state=cg_mod.CGState(*ckpt.restore(path, template)),
+            max_new_iters=6,
+        )
+        assert int(st2.iters) == 12
+        np.testing.assert_allclose(np.asarray(st2.x), np.asarray(full.x),
+                                   rtol=1e-10, atol=1e-12)
