@@ -32,6 +32,9 @@ Modes (GP_BENCH_MODE):
   resume CG in bounded device calls, scan-chunked Nystrom build): r4
   measured n=204800 — 2x the north-star scale on one 16 GB chip — at
   37 iters / 28.7 s including variance.
+- ``laplace`` — binary Laplace GPC fit (true Newton) + batched Alg 3.2
+  prediction at n=4096, m=2048 [ref: GP_binary_classification.py:86-154].
+  Baseline: the f64 oracle Newton (scipy solves, batched — generous).
 - ``scaling`` — weak-scaling harness over mesh sizes 1/2/4/8 (SURVEY.md
   sec. 4 item 5): runs the full distributed posterior
   (sharded gram -> panel Cholesky -> block solves) at fixed n-per-device.
@@ -602,7 +605,12 @@ def _bench_cg100k() -> None:
     # switches to the segmented host loop (gp.posterior_cg_segmented:
     # exact-resume CG in bounded device calls; identical math)
     segmented = n > 150_000 or os.environ.get("GP_BENCH_CG_SEGMENTED") == "1"
-    segment_iters = int(os.environ.get("GP_BENCH_CG_SEGMENT_ITERS", 40))
+    # keep one segment's device time under ~45 s: the per-iteration tile
+    # sweep is O(n^2) transcendentals, measured 0.18 s at n=102400
+    est_iter_s = 0.18 * (n / 102400.0) ** 2
+    segment_iters = int(os.environ.get(
+        "GP_BENCH_CG_SEGMENT_ITERS", max(8, min(40, int(45.0 / est_iter_s)))
+    ))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-5.0, 5.0, (n, D)), jnp.float32)
     y = jnp.asarray(
@@ -709,6 +717,104 @@ def _bench_cg100k() -> None:
         ),
         **({"committed_ref_s": ref_s} if ref_s is not None else {}),
         baseline="numpy_f64_solve_extrapolated_On3_NOT_measured",
+    )
+
+
+# ---------------------------------------------------------------- laplace
+
+
+def _bench_laplace() -> None:
+    """Binary Laplace GPC end-to-end: true-Newton fit (R&W Alg 3.1, W and
+    gradient recomputed each iterate) + batched Alg 3.2 prediction at
+    n=4096, m=2048 [ref: GP_binary_classification.py:86-154; the reference
+    loops chol + np.linalg.inv per Newton iteration and predicts one test
+    point at a time in Python]. Baseline: the f64 NumPy/scipy oracle
+    (tests/oracles.py — generous: triangular solves, no inv, batched
+    prediction). Parity: max |d prob| and label agreement vs that oracle.
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from gaussian_process_tpu import gp, ops
+
+    n = int(os.environ.get("GP_BENCH_N", 4096))
+    m = 2048
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-3.0, 3.0, (n, 2))
+    y = np.where(np.sin(1.5 * x[:, 0]) - x[:, 1] > 0.0, 1.0, -1.0)
+    xt = rng.uniform(-3.0, 3.0, (m, 2))
+    kernel = ops.RBF()
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    xtd = jnp.asarray(xt, jnp.float32)
+
+    def step(c):
+        params = {"sigma": jnp.float32(SIGMA) + c * 0.0,
+                  "lengthscale": jnp.float32(LENGTHSCALE)}
+        state = gp.fit_binary(kernel, params, xd, yd)
+        pred = gp.predict_binary(kernel, params, state, xd, xtd)
+        return (state.lml * 1e-30 + jnp.sum(pred.prob) * 0.0
+                + jnp.sum(pred.var) * 0.0)
+
+    metric = f"laplace_binary_fit_predict_n{n}"
+    tm, defense = _defended_slope(step, jnp.float32(0.0), metric=metric)
+    device_s = tm["device_s"]
+
+    # one real evaluation for iteration count + parity
+    params = {"sigma": jnp.float32(SIGMA), "lengthscale": jnp.float32(LENGTHSCALE)}
+    state = gp.fit_binary(kernel, params, xd, yd)
+    pred = gp.predict_binary(kernel, params, state, xd, xtd)
+    iters = int(state.iters)
+    _log(f"[bench] laplace n={n} m={m}: {device_s*1e3:.2f} ms device, "
+         f"{iters} Newton iterations (trials {defense['trials_ms']})")
+
+    if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
+        baseline_s, prob_err, label_agree = 60.0, None, None
+    else:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import oracles
+        from scipy.special import expit
+
+        t0 = time.perf_counter()
+        K = oracles.rbf(x, x, SIGMA, LENGTHSCALE)
+        K_s = oracles.rbf(x, xt, SIGMA, LENGTHSCALE)
+        f_mode, a, L, sW, grad = oracles.laplace_binary_mode(K, y, tol=1e-6)
+        mean0, var0 = oracles.laplace_binary_predict(
+            K_s, np.full(m, SIGMA**2), grad, L, sW
+        )
+        baseline_s = time.perf_counter() - t0
+        prob0 = expit(mean0)
+        prob = np.asarray(pred.prob)
+        prob_err = float(np.max(np.abs(prob - prob0)))
+        label_agree = float(np.mean((prob >= 0.5) == (prob0 >= 0.5)))
+        _log(f"[bench] laplace parity: max |d prob| {prob_err:.2e}, "
+             f"label agreement {label_agree:.4f}")
+        gate = float(os.environ.get("GP_BENCH_GATE_PROB", 5e-3))
+        if not (prob_err <= gate and label_agree >= 0.999):
+            _log("[bench] LAPLACE PARITY GATE FAILED")
+            raise ParityGateError(1)
+
+    # per-iteration: chol(B) n^3/3 + ~4 n^2 solves/matmuls; predict: n^2 m
+    flops = iters * (n**3 / 3 + 8 * n * n) + n * n * m + 2 * n * m * 2
+    gflops = flops / device_s / 1e9
+    _emit(
+        metric,
+        device_s * 1e3,
+        "ms",
+        baseline_s / device_s,
+        device_ms=round(device_s * 1e3, 3),
+        gflops=round(gflops, 1),
+        pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
+        newton_iters=iters,
+        **(
+            {"parity_max_prob_err": prob_err, "label_agreement": label_agree}
+            if prob_err is not None
+            else {"baseline_note": "skipped; recorded 60 s reused"}
+        ),
+        **defense,
+        baseline="numpy_f64_oracle_newton_measured",
     )
 
 
@@ -915,6 +1021,8 @@ def main() -> None:
         _bench_chol()
     elif mode == "cg100k":
         _bench_cg100k()
+    elif mode == "laplace":
+        _bench_laplace()
     elif mode == "scaling":
         _bench_scaling()
     else:

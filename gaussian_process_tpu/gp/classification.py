@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from gaussian_process_tpu import config as _config
@@ -101,7 +102,10 @@ def laplace_fit(
     if tol is None:
         # float32's Newton error floor sits near sqrt(eps)*||f||; float64
         # reaches the reference's absolute tolerances easily.
-        tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
+        tol = 10.0 * float(np.sqrt(np.finfo(np.dtype(K.dtype)).eps))
+        # (host numpy on purpose: under jit, jnp.sqrt stages even a
+        # concrete scalar into the trace and float() of the resulting
+        # tracer raises ConcretizationTypeError)
     t = (y + 1.0) / 2.0
     eye = jnp.eye(n, dtype=K.dtype)
     f0 = jnp.zeros_like(y) if f_init is None else jnp.asarray(f_init, K.dtype)

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from gaussian_process_tpu.linalg import cholesky as _chol
@@ -93,7 +94,10 @@ def laplace_fit_multiclass(
         raise ValueError(f"unknown mode {mode!r} (expected 'newton' or 'reference')")
     C, n = y.shape
     if tol is None:
-        tol = 10.0 * float(jnp.sqrt(jnp.finfo(K.dtype).eps))
+        tol = 10.0 * float(np.sqrt(np.finfo(np.dtype(K.dtype)).eps))
+        # (host numpy on purpose: under jit, jnp.sqrt stages even a
+        # concrete scalar into the trace and float() of the resulting
+        # tracer raises ConcretizationTypeError)
     eye = jnp.eye(n, dtype=K.dtype)
     f0 = jnp.zeros_like(y)
     trace0 = jnp.full((max_iters,), jnp.nan, dtype=K.dtype)

@@ -45,6 +45,9 @@ MODES = [
     # 2x the north-star n on one 16 GB chip: segmented exact-resume CG
     # (bounded device calls) + scan-chunked Nystrom build
     ("cg100k", {"GP_BENCH_N": "204800", "GP_BENCH_CG_ITERS": "300"}, 2400),
+    # 4x: dense K would be 671 GB; ~3 s/iter so segments shrink to ~14
+    ("cg100k", {"GP_BENCH_N": "409600", "GP_BENCH_CG_ITERS": "300"}, 3000),
+    ("laplace", {}, 1800),
     ("scaling", {}, 1800),
 ]
 

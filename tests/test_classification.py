@@ -299,3 +299,40 @@ class TestReferenceModeMulticlass:
         acc = float(np.mean(np.asarray(pred.label) == y_test))
         assert acc_ref >= 0.8  # the reference's printed metric range
         assert acc >= acc_ref - 1e-9
+
+
+class TestJitDefaultTol:
+    def test_fit_binary_jits_with_default_tol(self, rng):
+        """r4 regression: the default-tol expression used jnp.sqrt, which
+        omnistaging stages into the trace even on a concrete scalar —
+        float() of the tracer raised ConcretizationTypeError, so
+        fit_binary could never run under an outer jit without an explicit
+        tol (found by the laplace bench mode)."""
+        n = 48
+        x = jnp.asarray(rng.uniform(-3, 3, (n, 2)), jnp.float32)
+        y = jnp.asarray(np.where(rng.standard_normal(n) > 0, 1.0, -1.0),
+                        jnp.float32)
+        k = ops.RBF()
+
+        @jax.jit
+        def f(c):
+            p = {"sigma": jnp.float32(1.0) + c * 0.0,
+                 "lengthscale": jnp.float32(1.0)}
+            return gp.fit_binary(k, p, x, y).lml
+
+        assert np.isfinite(float(f(jnp.float32(0.0))))
+
+    def test_fit_multiclass_jits_with_default_tol(self, rng):
+        n = 48
+        x = jnp.asarray(rng.uniform(-3, 3, (n, 2)), jnp.float32)
+        y = jnp.asarray(np.arange(n) % 3, jnp.int32)
+        k = ops.RBF()
+
+        @jax.jit
+        def f(c):
+            p = {"sigma": jnp.float32(1.0) + c * 0.0,
+                 "lengthscale": jnp.float32(1.0)}
+            st = gp.fit_multiclass(k, p, x, y, num_classes=3)
+            return st.f_mode.sum()
+
+        assert np.isfinite(float(f(jnp.float32(0.0))))
