@@ -88,6 +88,38 @@ def _tile_sqdist(a, b):
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
+def _dot3(a, b):
+    """K-tile @ v-tile in 3 explicit bf16 MXU passes (~Precision.HIGH).
+
+    Mosaic only lowers DEFAULT and HIGHEST dot precisions; HIGHEST costs 6
+    passes and — measured r4 at n=102400, r_pad=16 — the thin-N output dot
+    was ~68 ms of a 132 ms matvec (the 128-wide MXU output lanes run at
+    r_pad/128 utilisation, so passes are expensive exactly here). The
+    2-way bf16 split (hi@hi + hi@lo + lo@hi, f32 accumulate) halves that
+    with relative error ~2^-16 = 1.5e-5 — two orders below the CG solve
+    tolerance the product feeds (the cross-term sqdist, where f32 matters,
+    stays HIGHEST). f32 only: the f64 path (CPU parity suite,
+    cg_solve_grad's f64 objectives) keeps the full-precision dot."""
+    if a.dtype != jnp.float32:
+        return lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=a.dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, w):
+        return lax.dot_general(
+            u, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _make_tile_eval(kernel, treedef, n_leaves, want_l2):
     """Returns f(params_ref, a_tile, b_tile) -> K tile, evaluating the
     stationary kernel tree on-chip."""
@@ -172,6 +204,7 @@ def gram_matvec(
     tile_n: int = 512,
     interpret: Optional[bool] = None,
     dtype=jnp.float32,
+    symmetric: Optional[bool] = None,
 ) -> jnp.ndarray:
     """K(x1, x2) @ v without materialising K (matrix-free; powers CG).
 
@@ -199,24 +232,47 @@ def gram_matvec(
         if k_nw is None:  # pure-White kernel: diagonal matvec
             out = white_var * v
             return out[:, 0] if vec_in else out
+        # symmetric upper-triangle sweep (_matvec_fwd_sym_impl): HALF the
+        # kernel-tile evaluations with x, v and the accumulator
+        # VMEM-resident. EXPERIMENTAL, opt-in only: correct and fast as a
+        # standalone call (parity 1e-6 at n=102400), but the current
+        # Mosaic/XLA toolchain stack-allocates the resident operands when
+        # the call sits inside a while/fori body — VMEM's T(8,128) lane
+        # tiling pads the r_pad=16 minor dim 8x — and the scoped-vmem
+        # budget blows, which is exactly where CG would run it. Default
+        # stays the streaming full sweep (with the _dot3 output product:
+        # 174 -> 134 ms per n=102400 matvec, measured r4).
+        sym = bool(symmetric) if symmetric is not None else False
         out = _matvec_core(
             k_nw, int(tile_m), int(tile_n), _auto_interpret(interpret),
-            jnp.dtype(dtype).name, p_nw, x1, x1, v,
+            jnp.dtype(dtype).name, sym, p_nw, x1, x1, v,
         )
         if white_var is not None:
             out = out + white_var * v.astype(out.dtype)
     else:
         out = _matvec_core(
             kernel, int(tile_m), int(tile_n), _auto_interpret(interpret),
-            jnp.dtype(dtype).name, params, x1, x2, v,
+            jnp.dtype(dtype).name, False, params, x1, x2, v,
         )
     return out[:, 0] if vec_in else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _matvec_core(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _matvec_core(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
     """White-free K(x1,x2) @ v, (m, r) RHS. Statics lead so custom_vjp can
-    mark them nondiff (kernel is a hashable frozen dataclass)."""
+    mark them nondiff (kernel is a hashable frozen dataclass). ``sym``:
+    x1 and x2 are the same set — use the upper-triangle sweep (half the
+    transcendentals; see _matvec_fwd_sym_impl)."""
+    return _matvec_dispatch(
+        kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v
+    )
+
+
+def _matvec_dispatch(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
+    if sym:
+        return _matvec_fwd_sym_impl(
+            kernel, tile_m, interpret, dtype_name, params, x1, v
+        )
     return _matvec_fwd_impl(
         kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v
     )
@@ -236,12 +292,7 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, 
     def kern(params_ref, x1_ref, x2_ref, v_ref, out_ref):
         j = pl.program_id(1)
         tile = body(params_ref, x1_ref[:], x2_ref[:])
-        part = jnp.dot(
-            tile,
-            v_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
+        part = _dot3(tile, v_ref[:])
 
         @pl.when(j == 0)
         def _():
@@ -274,14 +325,111 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, 
     return out[:n, :r]
 
 
-def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
-    out = _matvec_fwd_impl(
-        kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v
+def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
+    """Symmetric same-set matvec: sweep only the upper-triangle tiles.
+
+    K is symmetric, so tile (i, j) serves both output blocks: out_i +=
+    T @ v_j and (for j > i) out_j += T^T @ v_i. That HALVES the kernel
+    tile evaluations — and large-n CG is transcendental-bound (bench.py
+    roofline: ~1e10 RBF exps per 100k matvec), so this attacks the actual
+    bound rather than the MXU.
+
+    Mechanics: x (at d_pad = 8 — low-d inputs need no 128-lane padding for
+    the cross-term dot, measured identical), v AND the output accumulator
+    are all VMEM-RESIDENT for the whole sweep (constant-mapped whole-array
+    blocks; each operand passed ONCE), and the kernel slices its (i, j)
+    tiles out of the resident copies — so the grid does zero per-step HBM
+    fetches and a masked step costs only its loop iteration. The grid
+    enumerates (d, i) -> tile (i, i + d) — diagonal-offset form avoids the
+    sqrt in inverting a linear triangle index — with the i + d >= p half
+    masked out. The TPU grid is sequential, so read-modify-write
+    accumulation into dynamic row slices of the resident output is safe.
+    VMEM budget: n_pad (4 d_pad + 8 r_pad) bytes resident (~66 MB at
+    n = 409600, r_pad = 16, vs 128 MB VMEM); gram_matvec gates on it.
+    """
+    dtype = jnp.dtype(dtype_name)
+    r = v.shape[1]
+    r_pad = max(8, _round_up(r, 8))
+    body, _white, params_vec, _x1p, _x2p, grid_info = _build_common(
+        kernel, params, x1, x1, False, tile, tile, dtype
+    )
+    n, _m, n_pad, _m_pad, _d_pad128 = grid_info
+    x2d = _k._dist._as_2d(x1)
+    d_pad = _round_up(max(x2d.shape[1], 1), 8)
+    center = lax.stop_gradient(jnp.mean(x2d, axis=0, keepdims=True))
+    x1p = _prep(x2d - center, n_pad, d_pad, dtype)
+    p = n_pad // tile
+    vp = jnp.pad(v.astype(dtype), ((0, n_pad - n), (0, r_pad - r)))
+
+    def kern(params_ref, x_ref, v_ref, out_ref):
+        d = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((d == 0) & (i == 0))
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(i + d < p)
+        def _():
+            j = i + d
+            xi = x_ref[pl.ds(i * tile, tile), :]
+            xj = x_ref[pl.ds(j * tile, tile), :]
+            tile_K = body(params_ref, xi, xj)
+            part_i = _dot3(tile_K, v_ref[pl.ds(j * tile, tile), :])
+            rows_i = pl.ds(i * tile, tile)
+            out_ref[rows_i, :] = (
+                out_ref[rows_i, :] + part_i.astype(out_ref.dtype)
+            )
+
+            @pl.when(d > 0)
+            def _():
+                part_j = _dot3(tile_K.T, v_ref[pl.ds(i * tile, tile), :])
+                rows_j = pl.ds(j * tile, tile)
+                out_ref[rows_j, :] = (
+                    out_ref[rows_j, :] + part_j.astype(out_ref.dtype)
+                )
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), dtype),
+        grid=(p, p),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_pad, d_pad), lambda d, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, r_pad), lambda d, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_pad, r_pad), lambda d, i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        # three resident whole arrays + dot3 bf16 temporaries exceed the
+        # default 16 MB scoped-vmem window; v5e has 128 MB — claim what
+        # the sweep needs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                120 << 20,
+                n_pad * (4 * d_pad + 8 * r_pad) + (32 << 20),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * n_pad * (d_pad + 2 * r_pad) + 4 * n_pad * n_pad,
+            bytes_accessed=n_pad * d_pad * 4 + 2 * n_pad * r_pad * 4,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+    )(params_vec, x1p, vp)
+    return out[:n, :r]
+
+
+def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
+    out = _matvec_dispatch(
+        kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v
     )
     return out, (params, x1, x2, v)
 
 
-def _matvec_core_bwd(kernel, tile_m, tile_n, interpret, dtype_name, res, ct):
+def _matvec_core_bwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, res, ct):
     params, x1, x2, v = res
     # d_v = K(x2, x1) @ ct — stationary kernels are symmetric in their
     # arguments, so the transposed matvec is the same program swapped.
