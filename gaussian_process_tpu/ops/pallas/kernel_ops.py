@@ -233,16 +233,19 @@ def gram_matvec(
             out = white_var * v
             return out[:, 0] if vec_in else out
         # symmetric upper-triangle sweep (_matvec_fwd_sym_impl): HALF the
-        # kernel-tile evaluations with x, v and the accumulator
-        # VMEM-resident. EXPERIMENTAL, opt-in only: correct and fast as a
-        # standalone call (parity 1e-6 at n=102400), but the current
-        # Mosaic/XLA toolchain stack-allocates the resident operands when
-        # the call sits inside a while/fori body — VMEM's T(8,128) lane
-        # tiling pads the r_pad=16 minor dim 8x — and the scoped-vmem
-        # budget blows, which is exactly where CG would run it. Default
-        # stays the streaming full sweep (with the _dot3 output product:
-        # 174 -> 134 ms per n=102400 matvec, measured r4).
-        sym = bool(symmetric) if symmetric is not None else False
+        # kernel-tile evaluations with a TRANSPOSED (r_pad, n_pad)
+        # VMEM-resident accumulator. Measured r4 at n=102400, r=16:
+        # 79.7 ms/matvec vs 133.8 for the full sweep (both with _dot3),
+        # parity 8.6e-7, compiles inside while/fori bodies up to n=409600.
+        # Gate on the accumulator's VMEM footprint (exact in this layout).
+        n_rows = _k._dist._as_2d(x1).shape[0]
+        r_pad_est = max(8, _round_up(v.shape[1], 8))
+        n_pad_est = _round_up(n_rows, tile_m)
+        sym = bool(
+            symmetric
+            if symmetric is not None
+            else r_pad_est * n_pad_est * 4 <= (48 << 20) and n_rows >= 2048
+        )
         out = _matvec_core(
             k_nw, int(tile_m), int(tile_n), _auto_interpret(interpret),
             jnp.dtype(dtype).name, sym, p_nw, x1, x1, v,
@@ -325,6 +328,32 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, 
     return out[:n, :r]
 
 
+def _dot3_t(a, b, contract_b: int):
+    """(r, t) = a^T-free transposed products for the symmetric sweep:
+    dot_general(a (t, r), b (t, t)) contracting a's dim 0 against b's dim
+    ``contract_b`` — yields the row-transposed part directly (no in-kernel
+    transpose op). Same 3-pass bf16 split (f32 passthrough for f64) as
+    :func:`_dot3`."""
+    dims = (((0,), (contract_b,)), ((), ()))
+    if a.dtype != jnp.float32:
+        return lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=a.dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, w):
+        return lax.dot_general(
+            u, w, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
     """Symmetric same-set matvec: sweep only the upper-triangle tiles.
 
@@ -334,34 +363,31 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
     roofline: ~1e10 RBF exps per 100k matvec), so this attacks the actual
     bound rather than the MXU.
 
-    Mechanics: x (at d_pad = 8 — low-d inputs need no 128-lane padding for
-    the cross-term dot, measured identical), v AND the output accumulator
-    are all VMEM-RESIDENT for the whole sweep (constant-mapped whole-array
-    blocks; each operand passed ONCE), and the kernel slices its (i, j)
-    tiles out of the resident copies — so the grid does zero per-step HBM
-    fetches and a masked step costs only its loop iteration. The grid
-    enumerates (d, i) -> tile (i, i + d) — diagonal-offset form avoids the
-    sqrt in inverting a linear triangle index — with the i + d >= p half
-    masked out. The TPU grid is sequential, so read-modify-write
-    accumulation into dynamic row slices of the resident output is safe.
-    VMEM budget: n_pad (4 d_pad + 8 r_pad) bytes resident (~66 MB at
-    n = 409600, r_pad = 16, vs 128 MB VMEM); gram_matvec gates on it.
+    Mechanics: x/v tiles stream through the normal block pipeline; the
+    accumulator is a constant-mapped VMEM output held TRANSPOSED as
+    (r_pad, n_pad) — with r_pad on the sublane axis and n_pad on the lane
+    axis its VMEM footprint is exactly r_pad * n_pad * 4 bytes (the
+    row-major (n_pad, r_pad) layout pads 16 lanes up to 128, a ~8x
+    inflation that blew XLA's 16 MB scoped-vmem budget whenever the call
+    sat inside a while/fori body — i.e. inside CG). The kernel emits the
+    transposed partials directly via dot_general dimension numbers, and
+    the caller transposes once at the end. The grid enumerates (d, i) ->
+    tile (i, i + d) (diagonal-offset form — no sqrt triangle-index
+    inversion) with the i + d >= p half masked; the TPU grid is
+    sequential, so read-modify-write accumulation into dynamic lane
+    slices of the resident output is safe.
     """
     dtype = jnp.dtype(dtype_name)
     r = v.shape[1]
     r_pad = max(8, _round_up(r, 8))
-    body, _white, params_vec, _x1p, _x2p, grid_info = _build_common(
+    body, _white, params_vec, x1p, _x2p, grid_info = _build_common(
         kernel, params, x1, x1, False, tile, tile, dtype
     )
-    n, _m, n_pad, _m_pad, _d_pad128 = grid_info
-    x2d = _k._dist._as_2d(x1)
-    d_pad = _round_up(max(x2d.shape[1], 1), 8)
-    center = lax.stop_gradient(jnp.mean(x2d, axis=0, keepdims=True))
-    x1p = _prep(x2d - center, n_pad, d_pad, dtype)
+    n, _m, n_pad, _m_pad, d_pad = grid_info
     p = n_pad // tile
     vp = jnp.pad(v.astype(dtype), ((0, n_pad - n), (0, r_pad - r)))
 
-    def kern(params_ref, x_ref, v_ref, out_ref):
+    def kern(params_ref, xi_ref, xj_ref, vi_ref, vj_ref, out_ref):
         d = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -372,45 +398,45 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
         @pl.when(i + d < p)
         def _():
             j = i + d
-            xi = x_ref[pl.ds(i * tile, tile), :]
-            xj = x_ref[pl.ds(j * tile, tile), :]
-            tile_K = body(params_ref, xi, xj)
-            part_i = _dot3(tile_K, v_ref[pl.ds(j * tile, tile), :])
-            rows_i = pl.ds(i * tile, tile)
-            out_ref[rows_i, :] = (
-                out_ref[rows_i, :] + part_i.astype(out_ref.dtype)
+            tile_K = body(params_ref, xi_ref[:], xj_ref[:])
+            # (r, t) = v_j^T K_ij^T — row-transposed out_i contribution
+            part_i = _dot3_t(vj_ref[:], tile_K, 1)
+            cols_i = pl.ds(i * tile, tile)
+            out_ref[:, cols_i] = (
+                out_ref[:, cols_i] + part_i.astype(out_ref.dtype)
             )
 
             @pl.when(d > 0)
             def _():
-                part_j = _dot3(tile_K.T, v_ref[pl.ds(i * tile, tile), :])
-                rows_j = pl.ds(j * tile, tile)
-                out_ref[rows_j, :] = (
-                    out_ref[rows_j, :] + part_j.astype(out_ref.dtype)
+                # (r, t) = v_i^T K_ij — row-transposed out_j contribution
+                part_j = _dot3_t(vi_ref[:], tile_K, 0)
+                cols_j = pl.ds(j * tile, tile)
+                out_ref[:, cols_j] = (
+                    out_ref[:, cols_j] + part_j.astype(out_ref.dtype)
                 )
 
-    out = pl.pallas_call(
+    out_t = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((r_pad, n_pad), dtype),
         grid=(p, p),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_pad, d_pad), lambda d, i: (0, 0),
+            pl.BlockSpec((tile, d_pad), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, r_pad), lambda d, i: (0, 0),
+            pl.BlockSpec((tile, d_pad), lambda d, i: ((i + d) % p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, r_pad), lambda d, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, r_pad), lambda d, i: ((i + d) % p, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_pad, r_pad), lambda d, i: (0, 0), memory_space=pltpu.VMEM
+            (r_pad, n_pad), lambda d, i: (0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-        # three resident whole arrays + dot3 bf16 temporaries exceed the
-        # default 16 MB scoped-vmem window; v5e has 128 MB — claim what
-        # the sweep needs
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                120 << 20,
-                n_pad * (4 * d_pad + 8 * r_pad) + (32 << 20),
+                112 << 20, r_pad * n_pad * 4 + (48 << 20)
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -418,8 +444,8 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
             bytes_accessed=n_pad * d_pad * 4 + 2 * n_pad * r_pad * 4,
             transcendentals=n_pad * n_pad // 2,
         ),
-    )(params_vec, x1p, vp)
-    return out[:n, :r]
+    )(params_vec, x1p, x1p, vp, vp)
+    return out_t.T[:n, :r]
 
 
 def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
