@@ -31,12 +31,15 @@ Modes (GP_BENCH_MODE):
   Above n=150k the mode switches to gp.posterior_cg_segmented (exact-
   resume CG in bounded device calls, scan-chunked Nystrom build): r4
   measured n=204800 — 2x the north-star scale on one 16 GB chip — at
-  37 iters / 22.5 s and n=409600 (4x; dense K would be 671 GB) at
-  67 iters / 148 s, both including exact variance. The per-matvec win
-  behind the r4 numbers: the thin-N (r_pad=16) output dot at HIGHEST
-  cost 6 MXU passes at 1/8 lane utilisation (~40% of the matvec);
-  _dot3's explicit 2-way bf16 split does it in 3 passes at ~1.5e-5
-  relative error — 174 -> 134 ms per n=102400 matvec.
+  37 iters / 16.5 s and n=409600 (4x; dense K would be 671 GB) at
+  67 iters / 104 s, both including exact variance. The per-matvec wins
+  behind the r4 numbers (173 -> 80 ms per n=102400 matvec, 2.17x):
+  (1) the thin-N (r_pad=16) output dot at HIGHEST cost 6 MXU passes at
+  1/8 lane utilisation — _dot3's explicit 2-way bf16 split does it in 3
+  at ~1.5e-5 rel err; (2) the symmetric upper-triangle sweep halves the
+  kernel-tile evaluations via a TRANSPOSED (r_pad, n_pad) VMEM-resident
+  accumulator (the row-major layout's lane tiling inflated it 8x and
+  blew scoped vmem inside while bodies — see kernel_ops.py).
 - ``laplace`` — binary Laplace GPC fit (true Newton) + batched Alg 3.2
   prediction at n=4096, m=2048 [ref: GP_binary_classification.py:86-154].
   Baseline: the f64 oracle Newton (scipy solves, batched — generous).
