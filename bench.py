@@ -65,8 +65,8 @@ timings:
   remaining gap is the factorization's serial panel chain (below).
 - chol: r3 read the left-looking factorization as "54% of the x6 ceiling
   at n=8192 with the serial panel chain as headroom". The r4 harvest
-  attempt REFUTED most of that headroom (_scratch/chol_ab_r4.py +
-  panel_ops_r4.py, robust-slope-timed): 8 restructured variants (blocks
+  attempt REFUTED most of that headroom (bench_probes/chol_ab_r4.py +
+  panel_ops_r4.py — committed, re-runnable; robust-slope-timed): 8 restructured variants (blocks
   512-2048, GEMM-ified TRSM via panel inverses, fused Pallas panels,
   two-level blocking) all lose to the production b=1024 left-looking
   (10.5 ms; best challenger 10.9). The per-op microbench explains why:
@@ -79,10 +79,14 @@ timings:
   x6 number in pct_peak_bf16 understates utilisation by ~2x. Bound:
   MXU multi-pass throughput at these shapes, not scheduling.
 - gram at d=4 is NOT compute-bound, and the r3-predicted 2x was REAL:
-  the Pallas tile gram (tile 1024x1024) hits 0.335-0.43 ms = 626-800
-  GB/s (76-98% of HBM peak) vs the XLA gram's 0.62-0.72 ms (~50%) whose
-  exp-into-write fusion never streams faster. The gram bench mode now
-  measures the Pallas kernel (impl field). NOTE the Pallas gram only
+  the Pallas tile gram (tile 1024x1024) reached 0.335-0.43 ms = 626-800
+  GB/s (76-98% of HBM peak) in quiet ad-hoc probes
+  (bench_probes/gram_ab_r4.py), while the committed r4 driver artifact
+  recorded the robust slope at 0.547 ms = 492 GB/s (60%) with pair
+  trials down to 0.419 ms; vs the XLA gram's 0.62-0.72 ms (~50%) whose
+  exp-into-write fusion never streams faster. The gram bench mode
+  measures the Pallas kernel (impl field) and reports BOTH the robust
+  and best-pair bandwidths so the spread is the record, not a claim. NOTE the Pallas gram only
   wins when K itself is the product: swapped into the fused solve it
   LOSES 2.2 ms (pallas_call is a fusion barrier — the noise/jitter/rhs
   consumers each become an extra full-matrix HBM pass), so the solve
@@ -241,7 +245,13 @@ def _defended_slope(step, init, *, metric, repeats=None, readout=None):
         or spread > ANOMALY_FACTOR
     )
     info = {
-        "trials_ms": [round(t * 1e3, 4) for t in all_trials],
+        # per-trial (T2R - T1R)/R pair slopes; the reported value is the
+        # downward-robust estimate (min over trials of T2R, minus min over
+        # trials of T1R, over R) and is NOT simply min(pair_slopes_ms) —
+        # each timing is a physical lower bound + nonnegative noise, so
+        # min-per-leg cannot go below truth (VERDICT r4 weak #3)
+        "pair_slopes_ms": [round(t * 1e3, 4) for t in all_trials],
+        "estimator": "robust_slope:(minT2R-minT1R)/R",
         "contention_suspected": bool(contention),
     }
     if ref_ms is not None:
@@ -372,8 +382,9 @@ def _bench_solve() -> None:
     tm, defense = _defended_slope(step, jnp.float32(0.0), metric=metric)
     device_s = tm["device_s"]
     _log(f"[bench] solve n={n} m={m}: {device_s*1e3:.2f} ms device "
-         f"(min of {len(defense['trials_ms'])} slope trials: "
-         f"{defense['trials_ms']})")
+         f"(robust slope (minT2R-minT1R)/R over "
+         f"{len(defense['pair_slopes_ms'])} spaced pair trials; "
+         f"pair slopes {defense['pair_slopes_ms']})")
 
     # parity gate: one real evaluation vs the f64 oracle
     @jax.jit
@@ -441,12 +452,16 @@ def _bench_gram() -> None:
     xtr = jnp.asarray(x_train, jnp.float32)
     on_tpu = jax.default_backend() == "tpu"
 
-    # Headline implementation: the Pallas tiled gram at tile 1024x1024,
-    # measured r4 at 0.335 ms = 800 GB/s = 98% of v5e HBM peak — AT the
-    # n^2*4B/819GB/s floor the r3 roofline predicted (VERDICT r3 item 4:
-    # the XLA gram runs 0.66 ms / 407 GB/s; its exp-into-write fusion
-    # never streams the output faster than ~50% of peak). CPU/testing
-    # falls back to the XLA gram (Mosaic is TPU-only).
+    # Headline implementation: the Pallas tiled gram at tile 1024x1024.
+    # The committed r4 artifact records the ROBUST slope at 0.547 ms =
+    # 492 GB/s (60% of v5e HBM peak) with individual pair trials down to
+    # 0.419 ms = 626 GB/s; ad-hoc r4 probes saw 0.335 ms = 800 GB/s under
+    # quiet conditions. The row reports both the robust estimate and the
+    # best single pair trial so the spread is visible (VERDICT r4 weak
+    # #2). Context: the XLA gram runs ~0.66 ms / 407 GB/s — its
+    # exp-into-write fusion never streams the output faster than ~50% of
+    # peak (r3 roofline). CPU/testing falls back to the XLA gram (Mosaic
+    # is TPU-only).
     if on_tpu:
         from gaussian_process_tpu.ops import pallas as _pops
 
@@ -478,7 +493,11 @@ def _bench_gram() -> None:
         # parity vs the XLA gram + its time as context (one extra slope run)
         ref = ops.gram(kernel, p0, xtr)
         pallas_vs_xla_err = float(jnp.max(jnp.abs(init - ref)))
-        assert pallas_vs_xla_err < 1e-4, pallas_vs_xla_err
+        # hard gate, not a bare assert (stripped under -O) — ADVICE r4 low
+        if not (pallas_vs_xla_err < 1e-4):
+            _log(f"[bench] PARITY GATE FAILED: pallas-vs-xla gram max abs "
+                 f"err {pallas_vs_xla_err:.3e} (gate 1e-4)")
+            raise ParityGateError(1)
 
         def step_xla(A):
             params = {"sigma": jnp.float32(SIGMA) + A[0, 0] * 0.0,
@@ -514,6 +533,9 @@ def _bench_gram() -> None:
         gflops=round(gflops, 1),
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         hbm_gbps=round(out_bytes / device_s / 1e9, 1),
+        hbm_gbps_best_pair=round(
+            out_bytes / (min(defense["pair_slopes_ms"]) / 1e3) / 1e9, 1
+        ),
         impl=impl,
         note="bandwidth-bound at d=4: value = HBM write of the n^2 output",
         **xla_extra,
@@ -552,7 +574,7 @@ def _bench_chol() -> None:
     )
     device_s = tm["device_s"]
     _log(f"[bench] chol-solve n={n}: {device_s*1e3:.2f} ms device "
-         f"(trials {defense['trials_ms']})")
+         f"(pair slopes {defense['pair_slopes_ms']})")
 
     if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
         # recorded n=10240 measurement, O(n^3)-extrapolated to other n
@@ -631,12 +653,13 @@ def _bench_cg100k() -> None:
     # noise floor 1e-2 (100k points at this density are highly redundant)
     params = {"sigma": jnp.float32(1.0), "lengthscale": jnp.float32(2.0)}
     noise = 1e-2
+    cg_tol0 = 1e-3
 
     if segmented:
         def run(x, y, x_test):
             post = gp.posterior_cg_segmented(
                 kernel, params, x, y, x_test,
-                noise_variance=noise, tol=1e-3, max_iters=max_iters,
+                noise_variance=noise, tol=cg_tol0, max_iters=max_iters,
                 segment_iters=segment_iters, test_chunk=m_test,
                 use_pallas=True, precond_rank=rank,
             )
@@ -646,7 +669,7 @@ def _bench_cg100k() -> None:
         def run(x, y, x_test):
             post = gp.posterior_cg(
                 kernel, params, x, y, x_test,
-                noise_variance=noise, tol=1e-3, max_iters=max_iters,
+                noise_variance=noise, tol=cg_tol0, max_iters=max_iters,
                 test_chunk=m_test, use_pallas=True,
                 preconditioner="nystrom", precond_rank=rank,
             )
@@ -680,8 +703,28 @@ def _bench_cg100k() -> None:
         device_s = min(cg_trials)
     iters = int(iters_a)
     resnorm = float(res_a)
-    _log(f"[bench] cg100k: {iters} iters, resnorm {resnorm:.2e}, "
-         f"{device_s:.2f} s (mean+var, m={m_test})")
+    # convergence self-evidence (VERDICT r4 weak #4): reconstruct the block
+    # solve's stop threshold — cg_solve stops at tol * max-column ||rhs||
+    # with rhs = [y | K_s] — and record absolute + relative residuals so
+    # the row is readable without source-diving. Hitting the iteration cap
+    # with resnorm above stop FAILS the row.
+    Ks0 = np.asarray(jax.device_get(
+        jax.jit(lambda xa, xb: ops.gram(kernel, params, xa, xb))(x, x_test)
+    ), np.float64)
+    rhs0 = np.concatenate([np.asarray(y, np.float64)[:, None], Ks0], axis=1)
+    rhs_norm = float(np.sqrt(np.max(np.sum(rhs0 * rhs0, axis=0))))
+    cg_tol = cg_tol0
+    stop_abs = cg_tol * max(rhs_norm, 1e-30)
+    resnorm_rel = resnorm / max(rhs_norm, 1e-30)
+    converged = resnorm <= stop_abs or iters < max_iters
+    _log(f"[bench] cg100k: {iters} iters (cap {max_iters}), resnorm "
+         f"{resnorm:.2e} abs = {resnorm_rel:.2e} rel (stop {stop_abs:.2e} "
+         f"= tol {cg_tol:g} x ||rhs|| {rhs_norm:.3g}), {device_s:.2f} s "
+         f"(mean+var, m={m_test})")
+    if iters >= max_iters and resnorm > stop_abs:
+        _log(f"[bench] CG GATE FAILED: hit the {max_iters}-iteration cap "
+             f"with resnorm {resnorm:.2e} > stop {stop_abs:.2e}")
+        raise ParityGateError(1)
 
     # per-iteration tile work: sqdist cross-term rides the MXU at d_pad=128
     n_pad = -(-n // 512) * 512
@@ -702,7 +745,10 @@ def _bench_cg100k() -> None:
     mean_err = float(np.max(np.abs(np.asarray(small.mean) - np.asarray(dense.mean))))
     var_err = float(np.max(np.abs(np.asarray(small.var) - np.asarray(dense.var))))
     _log(f"[bench] cg vs chol parity at n=4096: mean {mean_err:.2e}, var {var_err:.2e}")
-    assert mean_err < 1e-2 and var_err < 1e-2, (mean_err, var_err)
+    if not (mean_err < 1e-2 and var_err < 1e-2):  # NaN fails closed
+        _log(f"[bench] PARITY GATE FAILED: cg-vs-chol n=4096 mean "
+             f"{mean_err:.3e} / var {var_err:.3e} (gate 1e-2)")
+        raise ParityGateError(1)
 
     est_baseline_s = 38.6 * (n / 8192.0) ** 3  # O(n^3) extrapolation, see header
     _emit(
@@ -714,8 +760,14 @@ def _bench_cg100k() -> None:
         gflops=round(gflops, 1),
         pct_peak_bf16=round(100 * gflops / (_peak_tflops() * 1e3), 2),
         cg_iters=iters,
+        cg_max_iters=max_iters,
+        cg_tol=cg_tol,
+        cg_stop_abs=round(stop_abs, 6),
         resnorm=resnorm,
+        resnorm_rel=resnorm_rel,
+        converged=bool(converged),
         includes_variance=True,
+        variance_m=m_test,
         parity_mean_err_n4096=mean_err,
         parity_var_err_n4096=var_err,
         trials_s=[round(t, 3) for t in cg_trials],
@@ -774,7 +826,7 @@ def _bench_laplace() -> None:
     pred = gp.predict_binary(kernel, params, state, xd, xtd)
     iters = int(state.iters)
     _log(f"[bench] laplace n={n} m={m}: {device_s*1e3:.2f} ms device, "
-         f"{iters} Newton iterations (trials {defense['trials_ms']})")
+         f"{iters} Newton iterations (pair slopes {defense['pair_slopes_ms']})")
 
     if os.environ.get("GP_BENCH_SKIP_BASELINE") == "1":
         baseline_s, prob_err, label_agree = 60.0, None, None

@@ -9,6 +9,7 @@ from gaussian_process_tpu.gp.regression import (
     posterior_mean_cg,
     posterior_cg,
     posterior_cg_segmented,
+    SegmentedSnapshot,
     CGPosterior,
 )
 
@@ -44,6 +45,7 @@ __all__ = [
     "posterior_mean_cg",
     "posterior_cg",
     "posterior_cg_segmented",
+    "SegmentedSnapshot",
     "CGPosterior",
     "WhitenedPosterior",
     "whitened_posterior",

@@ -358,7 +358,13 @@ def posterior_cg(
     if use_pallas:
         from gaussian_process_tpu.ops import pallas as _pops
 
-        matvec = lambda v: _pops.gram_matvec(k_nw, p_nw, x_train, None, v)
+        # below the 3-pass bf16 output-dot's ~1.5e-5 f32 precision floor
+        # the recurrence residual would "converge" where the true residual
+        # cannot — switch to the 6-pass HIGHEST dot (ADVICE r4).
+        _dm = "highest" if tol < 1e-5 else "split3"
+        matvec = lambda v: _pops.gram_matvec(
+            k_nw, p_nw, x_train, None, v, dot_mode=_dm
+        )
         cross_chunk = lambda xc: _k.gram(k_nw, p_nw, x_train, xc)
     else:
         K = _k.gram(k_nw, p_nw, x_train)  # CPU/test path: dense is fine
@@ -454,6 +460,27 @@ def posterior_mean_cg(
     return cross_mv(state.x), state
 
 
+class SegmentedSnapshot(NamedTuple):
+    """Complete resumable state of a :func:`posterior_cg_segmented` run.
+
+    Emitted via ``snapshot_cb`` after every segment and accepted back via
+    ``resume=``: a fresh process can continue the solve exactly where a
+    preempted one stopped — mid-chunk, conjugacy preserved (cg_solve
+    ``init_state``), with all finished chunks' results carried along.
+    Every leaf is an array or a scalar, so the whole tuple round-trips
+    through ``utils.checkpoint`` (tested in tests/test_regression.py).
+    ADVICE r4 low: the previous API could only checkpoint, not resume.
+    """
+
+    chunk: int  # index of the chunk the ``state`` belongs to
+    state: "_cg.CGState"  # mid-solve CG state of that chunk
+    alpha: Optional[jnp.ndarray]  # (n,) weights, once chunk 0 finished
+    means: tuple  # finished chunks' posterior-mean blocks
+    variances: tuple  # finished chunks' variance blocks
+    total_iters: int  # CG iterations spent in FINISHED chunks
+    worst_res: float  # worst final residual across finished chunks
+
+
 def posterior_cg_segmented(
     kernel: _k.Kernel,
     params: _k.Params,
@@ -469,6 +496,8 @@ def posterior_cg_segmented(
     use_pallas: Optional[bool] = None,
     precond_rank: Optional[int] = None,
     checkpoint_cb=None,
+    snapshot_cb=None,
+    resume: Optional[SegmentedSnapshot] = None,
     cfg: Optional[_config.SolveConfig] = None,
 ) -> CGPosterior:
     """Matrix-free posterior like :func:`posterior_cg`, but as a host loop
@@ -480,11 +509,14 @@ def posterior_cg_segmented(
     Why: (a) services that bound single-execution latency (watchdogs,
     preemptible/donated TPU time) kill a monolithic 100+-iteration solve —
     measured on the axon-tunnelled v5e, n = 204800 needs > 70 iterations
-    at ~0.7 s each and the worker kills executions at ~60 s; (b) the state
-    handed back between segments is a checkpoint: pass ``checkpoint_cb``
-    (called as ``checkpoint_cb(chunk_index, CGState)`` after every
-    segment) to persist it with utils.checkpoint and resume a multi-hour
-    solve after preemption (SURVEY.md §5 checkpoint/resume row).
+    at ~0.7 s each and the worker kills executions at ~60 s; (b) the
+    solve checkpoints AND resumes: ``snapshot_cb`` receives a complete
+    :class:`SegmentedSnapshot` after every segment (persist it with
+    utils.checkpoint), and passing one back as ``resume=`` continues the
+    solve exactly — mid-chunk, conjugacy preserved, finished chunks not
+    recomputed (SURVEY.md §5 checkpoint/resume row). ``checkpoint_cb``
+    (called as ``checkpoint_cb(chunk_index, CGState)``) is the older
+    state-only hook and still fires.
 
     The Nystrom preconditioner is built ONCE in its own jitted call and
     then passed to every segment as a pytree argument (NamedTuple of
@@ -522,7 +554,11 @@ def posterior_cg_segmented(
         if use_pallas:
             from gaussian_process_tpu.ops import pallas as _pops
 
-            return _pops.gram_matvec(k_nw, p_nw, x, None, v) + shift * v
+            # see posterior_cg: tight tolerances need the HIGHEST dot
+            _dm = "highest" if tol < 1e-5 else "split3"
+            return _pops.gram_matvec(
+                k_nw, p_nw, x, None, v, dot_mode=_dm
+            ) + shift * v
         return _k.gram(k_nw, p_nw, x) @ v + shift * v
 
     @jax.jit
@@ -552,39 +588,58 @@ def posterior_cg_segmented(
     x_test_p = jnp.pad(x_test, ((0, m_pad - m), (0, 0)))
     kss = _k.gram_diag(kernel, params, x_test_p)
 
-    means, vars_ = [], []
-    total_iters = 0
-    worst_res = 0.0
-    alpha = None
-    for c in range(n_chunks):
+    if resume is not None:
+        start_chunk = int(resume.chunk)
+        means = list(resume.means)
+        vars_ = list(resume.variances)
+        alpha = resume.alpha
+        total_iters = int(resume.total_iters)
+        worst_res = float(resume.worst_res)
+    else:
+        start_chunk = 0
+        means, vars_ = [], []
+        total_iters = 0
+        worst_res = 0.0
+        alpha = None
+    for c in range(start_chunk, n_chunks):
         xc = x_test_p[c * chunk : (c + 1) * chunk]
         Ks = cross(p_nw, x_train, xc)
         rhs = jnp.concatenate([y_train[:, None], Ks], axis=1) if c == 0 else Ks
         stop = float(tol) * max(
             float(jnp.sqrt(jnp.max(jnp.sum(rhs * rhs, axis=0)))), 1e-30
         )
-        state = seg_first(p_nw, x_train, rhs, pre)
-        if checkpoint_cb is not None:
-            checkpoint_cb(c, state)
+
+        def _emit_cb(state):
+            if checkpoint_cb is not None:
+                checkpoint_cb(c, state)
+            if snapshot_cb is not None:
+                snapshot_cb(SegmentedSnapshot(
+                    chunk=c, state=state, alpha=alpha,
+                    means=tuple(means), variances=tuple(vars_),
+                    total_iters=total_iters, worst_res=worst_res,
+                ))
+
+        if resume is not None and c == start_chunk:
+            # continue the interrupted chunk exactly from its CG state
+            state = seg_cont(p_nw, x_train, rhs, pre, resume.state)
+        else:
+            state = seg_first(p_nw, x_train, rhs, pre)
+        _emit_cb(state)
         while (
             float(state.resnorm) > stop and int(state.iters) < max_iters
         ):
             prev_iters = int(state.iters)
             state = seg_cont(p_nw, x_train, rhs, pre, state)
-            if checkpoint_cb is not None:
-                checkpoint_cb(c, state)
+            _emit_cb(state)
             if int(state.iters) == prev_iters:
                 break  # no progress possible (cap reached inside)
         U = state.x
         if c == 0:
             alpha = U[:, 0]
             U = U[:, 1:]
-            Ks_v = Ks
-        else:
-            Ks_v = Ks
-        means.append(Ks_v.T @ alpha)
+        means.append(Ks.T @ alpha)
         vars_.append(
-            kss[c * chunk : (c + 1) * chunk] - jnp.sum(Ks_v * U, axis=0)
+            kss[c * chunk : (c + 1) * chunk] - jnp.sum(Ks * U, axis=0)
         )
         total_iters += int(state.iters)
         worst_res = max(worst_res, float(state.resnorm))

@@ -50,7 +50,10 @@ class WhitenedPosterior(NamedTuple):
     mean: jnp.ndarray  # (n_test,) posterior mean, ORIGINAL units
     var: jnp.ndarray  # (n_test,) posterior variance, original units
     std: jnp.ndarray  # sqrt(var), original units
-    lml: jnp.ndarray  # scalar LML of the ORIGINAL (unwhitened) model
+    lml: float  # scalar LML of the ORIGINAL (unwhitened) model (host
+    # Python float: the log-scale de-whitening shift happens in host f64 —
+    # device f64 would warn/downcast when x64 is off — so this leaf is NOT
+    # a device array; do not tree_map it into jitted code. ADVICE r4 low.)
     y_scale: float  # s: the target standardisation applied
     x_shift: np.ndarray  # the input centering applied
     jitter: jnp.ndarray  # extra jitter safe_cholesky applied (whitened units)
@@ -109,7 +112,7 @@ def whitened_posterior(
     )
     # de-whitening is exact; the log-scale LML shift happens in host f64
     # (device f64 would warn/downcast when x64 is disabled)
-    lml = np.float64(jax.device_get(post.lml)) - n * np.log(np.float64(s))
+    lml = float(np.float64(jax.device_get(post.lml)) - n * np.log(np.float64(s)))
     return WhitenedPosterior(
         mean=post.mean * s,
         var=post.var * (s * s),
@@ -132,8 +135,9 @@ def whitened_lml(
     x_shift: Optional[np.ndarray] = None,
     y_scale: Optional[float] = None,
     cfg=None,
-) -> jnp.ndarray:
-    """Original-units log marginal likelihood via the whitened f32 solve.
+) -> float:
+    """Original-units log marginal likelihood via the whitened f32 solve
+    (returned as a host Python float — see WhitenedPosterior.lml).
 
     [ref: CO2_example.py:131-149 (compute_mar_likelihood) — the quantity
     the 11-D BO loop evaluates ~1000s of times]
@@ -158,4 +162,4 @@ def whitened_lml(
         wkernel, wparams, xc, yh, noise_variance=noise_variance / (s * s),
         cfg=cfg,
     )
-    return np.float64(jax.device_get(lml_hat)) - n * np.log(np.float64(s))
+    return float(np.float64(jax.device_get(lml_hat)) - n * np.log(np.float64(s)))

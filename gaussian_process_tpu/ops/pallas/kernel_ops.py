@@ -88,7 +88,7 @@ def _tile_sqdist(a, b):
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
-def _dot3(a, b):
+def _dot3(a, b, mode: str = "split3"):
     """K-tile @ v-tile in 3 explicit bf16 MXU passes (~Precision.HIGH).
 
     Mosaic only lowers DEFAULT and HIGHEST dot precisions; HIGHEST costs 6
@@ -96,11 +96,15 @@ def _dot3(a, b):
     was ~68 ms of a 132 ms matvec (the 128-wide MXU output lanes run at
     r_pad/128 utilisation, so passes are expensive exactly here). The
     2-way bf16 split (hi@hi + hi@lo + lo@hi, f32 accumulate) halves that
-    with relative error ~2^-16 = 1.5e-5 — two orders below the CG solve
-    tolerance the product feeds (the cross-term sqdist, where f32 matters,
-    stays HIGHEST). f32 only: the f64 path (CPU parity suite,
-    cg_solve_grad's f64 objectives) keeps the full-precision dot."""
-    if a.dtype != jnp.float32:
+    with relative error ~2^-16 = 1.5e-5 — the f32 PRECISION FLOOR of the
+    default matvec: CG's recurrence residual can report convergence the
+    true residual cannot reach below ~1e-5 relative, so solvers with
+    tighter tolerances must pass ``mode="highest"`` (the 6-pass dot;
+    gp.posterior_cg does this automatically when tol < 1e-5 — ADVICE r4).
+    The cross-term sqdist, where f32 matters most, stays HIGHEST either
+    way. f32 only: the f64 path (CPU parity suite, cg_solve_grad's f64
+    objectives) keeps the full-precision dot."""
+    if a.dtype != jnp.float32 or mode == "highest":
         return lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=a.dtype,
@@ -205,11 +209,17 @@ def gram_matvec(
     interpret: Optional[bool] = None,
     dtype=jnp.float32,
     symmetric: Optional[bool] = None,
+    dot_mode: str = "split3",
 ) -> jnp.ndarray:
     """K(x1, x2) @ v without materialising K (matrix-free; powers CG).
 
     ``v``: (m,) or (m, r) — r right-hand sides ride the same K tiles.
     x2=None means same-set incl. White's diagonal.
+
+    ``dot_mode``: "split3" (default — 3-pass bf16 output dot, ~1.5e-5
+    relative precision floor in f32) or "highest" (6-pass, full f32; ~2x
+    slower output dot — required when the consumer needs residuals below
+    ~1e-5 relative, see _dot3).
 
     Differentiable: gradients w.r.t. ``params``, ``x1``, ``x2`` and ``v``
     flow through a custom VJP whose backward pass is itself a fused Pallas
@@ -248,40 +258,40 @@ def gram_matvec(
         )
         out = _matvec_core(
             k_nw, int(tile_m), int(tile_n), _auto_interpret(interpret),
-            jnp.dtype(dtype).name, sym, p_nw, x1, x1, v,
+            jnp.dtype(dtype).name, sym, str(dot_mode), p_nw, x1, x1, v,
         )
         if white_var is not None:
             out = out + white_var * v.astype(out.dtype)
     else:
         out = _matvec_core(
             kernel, int(tile_m), int(tile_n), _auto_interpret(interpret),
-            jnp.dtype(dtype).name, False, params, x1, x2, v,
+            jnp.dtype(dtype).name, False, str(dot_mode), params, x1, x2, v,
         )
     return out[:, 0] if vec_in else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _matvec_core(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _matvec_core(kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, params, x1, x2, v):
     """White-free K(x1,x2) @ v, (m, r) RHS. Statics lead so custom_vjp can
     mark them nondiff (kernel is a hashable frozen dataclass). ``sym``:
     x1 and x2 are the same set — use the upper-triangle sweep (half the
     transcendentals; see _matvec_fwd_sym_impl)."""
     return _matvec_dispatch(
-        kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v
+        kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, params, x1, x2, v
     )
 
 
-def _matvec_dispatch(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
+def _matvec_dispatch(kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, params, x1, x2, v):
     if sym:
         return _matvec_fwd_sym_impl(
-            kernel, tile_m, interpret, dtype_name, params, x1, v
+            kernel, tile_m, interpret, dtype_name, dot_mode, params, x1, v
         )
     return _matvec_fwd_impl(
-        kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v
+        kernel, tile_m, tile_n, interpret, dtype_name, dot_mode, params, x1, x2, v
     )
 
 
-def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, x2, v):
+def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, dot_mode, params, x1, x2, v):
     dtype = jnp.dtype(dtype_name)
     r = v.shape[1]
     r_pad = max(8, _round_up(r, 8))
@@ -295,7 +305,7 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, 
     def kern(params_ref, x1_ref, x2_ref, v_ref, out_ref):
         j = pl.program_id(1)
         tile = body(params_ref, x1_ref[:], x2_ref[:])
-        part = _dot3(tile, v_ref[:])
+        part = _dot3(tile, v_ref[:], dot_mode)
 
         @pl.when(j == 0)
         def _():
@@ -328,14 +338,15 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, params, x1, 
     return out[:n, :r]
 
 
-def _dot3_t(a, b, contract_b: int):
+def _dot3_t(a, b, contract_b: int, mode: str = "split3"):
     """(r, t) = a^T-free transposed products for the symmetric sweep:
     dot_general(a (t, r), b (t, t)) contracting a's dim 0 against b's dim
     ``contract_b`` — yields the row-transposed part directly (no in-kernel
-    transpose op). Same 3-pass bf16 split (f32 passthrough for f64) as
-    :func:`_dot3`."""
+    transpose op). Same 3-pass bf16 split (f32 passthrough for f64, and
+    HIGHEST when ``mode="highest"`` — see :func:`_dot3`'s precision
+    floor) as :func:`_dot3`."""
     dims = (((0,), (contract_b,)), ((), ()))
-    if a.dtype != jnp.float32:
+    if a.dtype != jnp.float32 or mode == "highest":
         return lax.dot_general(
             a, b, dimension_numbers=dims,
             preferred_element_type=a.dtype,
@@ -354,7 +365,7 @@ def _dot3_t(a, b, contract_b: int):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
+def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, dot_mode, params, x1, v):
     """Symmetric same-set matvec: sweep only the upper-triangle tiles.
 
     K is symmetric, so tile (i, j) serves both output blocks: out_i +=
@@ -400,7 +411,7 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
             j = i + d
             tile_K = body(params_ref, xi_ref[:], xj_ref[:])
             # (r, t) = v_j^T K_ij^T — row-transposed out_i contribution
-            part_i = _dot3_t(vj_ref[:], tile_K, 1)
+            part_i = _dot3_t(vj_ref[:], tile_K, 1, dot_mode)
             cols_i = pl.ds(i * tile, tile)
             out_ref[:, cols_i] = (
                 out_ref[:, cols_i] + part_i.astype(out_ref.dtype)
@@ -409,7 +420,7 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
             @pl.when(d > 0)
             def _():
                 # (r, t) = v_i^T K_ij — row-transposed out_j contribution
-                part_j = _dot3_t(vi_ref[:], tile_K, 0)
+                part_j = _dot3_t(vi_ref[:], tile_K, 0, dot_mode)
                 cols_j = pl.ds(j * tile, tile)
                 out_ref[:, cols_j] = (
                     out_ref[:, cols_j] + part_j.astype(out_ref.dtype)
@@ -448,19 +459,19 @@ def _matvec_fwd_sym_impl(kernel, tile, interpret, dtype_name, params, x1, v):
     return out_t.T[:n, :r]
 
 
-def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v):
+def _matvec_core_fwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, params, x1, x2, v):
     out = _matvec_dispatch(
-        kernel, tile_m, tile_n, interpret, dtype_name, sym, params, x1, x2, v
+        kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, params, x1, x2, v
     )
     return out, (params, x1, x2, v)
 
 
-def _matvec_core_bwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, res, ct):
+def _matvec_core_bwd(kernel, tile_m, tile_n, interpret, dtype_name, sym, dot_mode, res, ct):
     params, x1, x2, v = res
     # d_v = K(x2, x1) @ ct — stationary kernels are symmetric in their
     # arguments, so the transposed matvec is the same program swapped.
     d_v = _matvec_fwd_impl(
-        kernel, tile_m, tile_n, interpret, dtype_name, params, x2, x1, ct
+        kernel, tile_m, tile_n, interpret, dtype_name, dot_mode, params, x2, x1, ct
     ).astype(v.dtype)
     # d_params and d_x1 from one tile sweep; d_x2 by the symmetry
     # <ct, K(x1,x2) v> = <v, K(x2,x1) ct> (params cotangent identical, so

@@ -22,17 +22,22 @@ from gaussian_process_tpu.linalg import cg as _cg
 from gaussian_process_tpu.ops import kernels as _k
 
 
-def _auto_block(k_nw, p_nw, dist_method):
+def _auto_block(k_nw, p_nw, dist_method, tol=1e-6):
     """Per-ring-step kernel block matvec K(x_local, xb) @ vb.
 
     On TPU with a stationary kernel this is the fused Pallas ``gram_matvec``
     (the block is computed tile-by-tile in VMEM and never written to HBM);
     elsewhere (CPU parity tests, non-stationary kernels) the dense XLA gram.
+    ``tol`` picks the output-dot precision: below 1e-5 the 3-pass bf16
+    split's ~1.5e-5 floor would lie to the CG residual (ADVICE r4).
     """
     if jax.default_backend() == "tpu" and _k.is_stationary(k_nw):
         from gaussian_process_tpu.ops import pallas as _pops
 
-        return lambda xl, xb, vb: _pops.gram_matvec(k_nw, p_nw, xl, xb, vb)
+        _dm = "highest" if tol < 1e-5 else "split3"
+        return lambda xl, xb, vb: _pops.gram_matvec(
+            k_nw, p_nw, xl, xb, vb, dot_mode=_dm
+        )
 
     def _xla(xl, xb, vb):
         return _k.gram(k_nw, p_nw, xl, xb, method=dist_method) @ vb
@@ -77,7 +82,7 @@ def make_posterior_mean_cg(
         else:
             valid = None
         _block = block_fn if block_fn is not None else _auto_block(
-            k_nw, p_nw, dist_method
+            k_nw, p_nw, dist_method, tol
         )
 
         p = lax.axis_size(axis)
@@ -206,7 +211,7 @@ def make_posterior_cg(
         else:
             valid = None
         _block = block_fn if block_fn is not None else _auto_block(
-            k_nw, p_nw, dist_method
+            k_nw, p_nw, dist_method, tol
         )
 
         p = lax.axis_size(axis)

@@ -82,6 +82,104 @@ class TestPallasMatvec:
         np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
 
 
+class TestSymmetricMatvec:
+    """The upper-triangle same-set sweep (_matvec_fwd_sym_impl) — the
+    kernel powering the cg100k/204800/409600 headline rows — exercised in
+    interpret mode at small n (ADVICE r4 medium #2: it previously had zero
+    automated parity coverage because it only auto-enables at n >= 2048)."""
+
+    @pytest.mark.parametrize("n,r", [(300, 1), (256, 3), (193, 2)])
+    def test_parity_vs_full_sweep_rbf(self, rng, n, r):
+        # tile 64 with ragged n covers multi-tile grids incl. a partial
+        # final tile (300 = 4*64 + 44)
+        a = _x(rng, n, 2)
+        v = rng.standard_normal((n, r)).astype(np.float32)
+        k = ops.RBF()
+        p = {"sigma": jnp.asarray(1.3), "lengthscale": jnp.asarray(0.7)}
+        sym = pops.gram_matvec(k, p, a, None, jnp.asarray(v),
+                               tile_m=64, tile_n=64, interpret=True,
+                               symmetric=True)
+        full = pops.gram_matvec(k, p, a, None, jnp.asarray(v),
+                                tile_m=64, tile_n=64, interpret=True,
+                                symmetric=False)
+        np.testing.assert_allclose(np.asarray(sym), np.asarray(full),
+                                   rtol=2e-4, atol=2e-4)
+        K = ops.gram(k, p, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(np.asarray(sym), np.asarray(K) @ v,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_parity_sum_kernel_with_white(self, rng):
+        a = _x(rng, 200, 3)
+        v = rng.standard_normal((200, 2)).astype(np.float32)
+        k = ops.RBF() + ops.White()
+        p = (ops.RBF().init_params(), {"amplitude": jnp.asarray(0.5)})
+        sym = pops.gram_matvec(k, p, a, None, jnp.asarray(v),
+                               tile_m=64, tile_n=64, interpret=True,
+                               symmetric=True)
+        K = ops.gram(k, p, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(np.asarray(sym), np.asarray(K) @ v,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_parity_matern(self, rng):
+        a = _x(rng, 150, 2)
+        v = rng.standard_normal((150, 1)).astype(np.float32)
+        k = ops.Matern(nu=1.5)
+        p = {"sigma": jnp.asarray(1.1), "lengthscale": jnp.asarray(0.9)}
+        sym = pops.gram_matvec(k, p, a, None, jnp.asarray(v),
+                               tile_m=64, tile_n=64, interpret=True,
+                               symmetric=True)
+        K = ops.gram(k, p, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(np.asarray(sym), np.asarray(K) @ v,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_dot_mode_highest_parity(self, rng):
+        """dot_mode='highest' (the tight-tolerance fallback, ADVICE r4
+        medium #1) agrees with the dense product tighter than split3."""
+        a = _x(rng, 200, 2)
+        v = rng.standard_normal((200, 2)).astype(np.float32)
+        k = ops.RBF()
+        p = k.init_params()
+        K = np.asarray(ops.gram(k, p, jnp.asarray(a, jnp.float32)),
+                       np.float64)
+        want = K @ v.astype(np.float64)
+        scale = np.max(np.abs(want))
+        for sym_flag in (True, False):
+            hi = np.asarray(pops.gram_matvec(
+                k, p, a, None, jnp.asarray(v), tile_m=64, tile_n=64,
+                interpret=True, symmetric=sym_flag, dot_mode="highest",
+            ), np.float64)
+            assert np.max(np.abs(hi - want)) / scale < 3e-6
+
+    def test_vjp_through_symmetric_path(self, rng):
+        """Gradients flow through symmetric=True (the backward pass uses
+        the full sweeps; parity vs XLA dense autodiff)."""
+        n, d, r = 96, 2, 2
+        x = jnp.asarray(rng.uniform(-3, 3, (n, d)))
+        v = jnp.asarray(rng.standard_normal((n, r)))
+        w = jnp.asarray(rng.standard_normal((n, r)))
+        kern = ops.RBF()
+        p = {"sigma": jnp.asarray(1.2), "lengthscale": jnp.asarray(0.9)}
+
+        def loss_sym(p, x, v):
+            return jnp.sum(pops.gram_matvec(
+                kern, p, x, None, v, tile_m=32, tile_n=32,
+                interpret=True, symmetric=True, dtype=jnp.float64,
+            ) * w)
+
+        def loss_xla(p, x, v):
+            return jnp.sum((ops.gram(kern, p, x) @ v) * w)
+
+        np.testing.assert_allclose(float(loss_sym(p, x, v)),
+                                   float(loss_xla(p, x, v)), rtol=1e-6)
+        g1 = jax.grad(loss_sym, argnums=(0, 1, 2))(p, x, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(p, x, v)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                    atol=1e-10),
+            g1, g2,
+        )
+
+
 class TestGramMatvecVJP:
     """gram_matvec's custom VJP (backward = fused Pallas tile sweeps) vs
     XLA dense autodiff (VERDICT round 1, item 9)."""

@@ -313,6 +313,89 @@ class TestSegmentedCG:
         iters = [i for _, i in seen]
         assert iters == sorted(iters)  # states progress monotonically
 
+    def test_snapshot_resume_mid_run(self, rng):
+        """ADVICE r4 low: posterior_cg_segmented itself resumes — abort the
+        solve partway via snapshot_cb, pass the last snapshot back as
+        ``resume=``, and the continued run must reproduce the
+        uninterrupted answer (mid-chunk, conjugacy preserved)."""
+        n, m = 260, 24
+        x = rng.uniform(-5, 5, (n, 2))
+        y = rng.standard_normal(n)
+        xs = rng.uniform(-5, 5, (m, 2))
+        k = ops.RBF()
+        p = k.init_params()
+        kw = dict(noise_variance=1e-2, tol=1e-10, segment_iters=6,
+                  test_chunk=8, precond_rank=48)
+        ref = gp.posterior_cg_segmented(k, p, x, y, xs, **kw)
+
+        class _Preempt(Exception):
+            pass
+
+        snaps = []
+
+        def cb(s):
+            snaps.append(s)
+            if len(snaps) == 3:
+                raise _Preempt()
+
+        try:
+            gp.posterior_cg_segmented(k, p, x, y, xs, snapshot_cb=cb, **kw)
+        except _Preempt:
+            pass
+        assert len(snaps) == 3
+        resumed = gp.posterior_cg_segmented(
+            k, p, x, y, xs, resume=snaps[-1], **kw
+        )
+        np.testing.assert_allclose(np.asarray(resumed.mean),
+                                   np.asarray(ref.mean),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(resumed.var),
+                                   np.asarray(ref.var),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(resumed.iters) == int(ref.iters)
+
+    def test_snapshot_roundtrips_utils_checkpoint(self, rng, tmp_path):
+        """The SegmentedSnapshot pytree persists and restores through
+        utils.checkpoint (the preemption story end-to-end)."""
+        from gaussian_process_tpu.utils import checkpoint as ckpt
+
+        n, m = 200, 16
+        x = rng.uniform(-5, 5, (n, 2))
+        y = rng.standard_normal(n)
+        xs = rng.uniform(-5, 5, (m, 2))
+        k = ops.RBF()
+        p = k.init_params()
+        kw = dict(noise_variance=1e-2, tol=1e-10, segment_iters=5,
+                  test_chunk=8, precond_rank=48)
+        ref = gp.posterior_cg_segmented(k, p, x, y, xs, **kw)
+        snaps = []
+        gp.posterior_cg_segmented(k, p, x, y, xs, snapshot_cb=snaps.append,
+                                  **kw)
+        mid = next(s for s in snaps if s.chunk == 1)
+        path = ckpt.save(str(tmp_path / "seg"), mid)
+        template = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(jnp.asarray(a)), mid
+        )
+        restored_leaves = ckpt.restore(path, template)
+        restored = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(mid), jax.tree_util.tree_leaves(restored_leaves)
+        )
+        restored = gp.SegmentedSnapshot(
+            chunk=int(restored.chunk),
+            state=restored.state,
+            alpha=restored.alpha,
+            means=tuple(restored.means),
+            variances=tuple(restored.variances),
+            total_iters=int(restored.total_iters),
+            worst_res=float(restored.worst_res),
+        )
+        resumed = gp.posterior_cg_segmented(
+            k, p, x, y, xs, resume=restored, **kw
+        )
+        np.testing.assert_allclose(np.asarray(resumed.mean),
+                                   np.asarray(ref.mean),
+                                   rtol=1e-9, atol=1e-11)
+
     def test_preemption_resume_via_checkpoint(self, rng, tmp_path):
         """Kill-and-resume: persist the CGState mid-solve with
         utils.checkpoint, 'restart', restore and continue — must land on
