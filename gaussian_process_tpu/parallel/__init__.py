@@ -12,6 +12,8 @@ from gaussian_process_tpu.parallel.cg import (
     make_posterior_mean_cg,
     distributed_posterior_cg,
     make_posterior_cg,
+    make_posterior_cg_segments,
+    distributed_posterior_cg_segmented,
 )
 from gaussian_process_tpu.parallel.cholesky import (
     distributed_cholesky,
@@ -47,6 +49,8 @@ __all__ = [
     "make_posterior_mean_cg",
     "distributed_posterior_cg",
     "make_posterior_cg",
+    "make_posterior_cg_segments",
+    "distributed_posterior_cg_segmented",
     "distributed_cholesky",
     "distributed_cholesky_solve",
     "make_distributed_posterior",

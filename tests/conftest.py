@@ -48,6 +48,7 @@ _SLOW_FILES = {
     "test_multihost.py",  # multi-process DCN loopback (spawns workers)
     "test_parallel_multiclass.py",  # class-sharded Newton vs single-chip
     "test_co2_full.py",  # reference-scale 4x10x500 CO2 BO
+    "test_distributed_nystrom_cg.py",  # n=8192 ill-conditioned dist CG
 }
 _SLOW_TESTS = {
     "test_matches_cholesky_path",
