@@ -20,11 +20,14 @@ from gaussian_process_tpu.gp.whitened import (
 )
 from gaussian_process_tpu.gp.classification import (
     BinaryLaplaceState,
+    BinaryLaplaceCGState,
     BinaryPrediction,
     laplace_fit,
+    laplace_fit_cg,
     laplace_predict,
     fit_binary,
     predict_binary,
+    predict_binary_cg,
 )
 from gaussian_process_tpu.gp.multiclass import (
     MulticlassLaplaceState,
@@ -51,11 +54,14 @@ __all__ = [
     "whitened_posterior",
     "whitened_lml",
     "BinaryLaplaceState",
+    "BinaryLaplaceCGState",
     "BinaryPrediction",
     "laplace_fit",
+    "laplace_fit_cg",
     "laplace_predict",
     "fit_binary",
     "predict_binary",
+    "predict_binary_cg",
     "MulticlassLaplaceState",
     "MulticlassPrediction",
     "laplace_fit_multiclass",

@@ -85,6 +85,39 @@ def make_nystrom_preconditioner(
     rounding). "auto"/None: chunk at 65536 rows when n * r would exceed
     ~2^28 floats, else the dense build.
     """
+    U, G, idx = make_nystrom_factor(
+        kernel, params, x, rank=rank, key=key, jitter=jitter,
+        row_chunk=row_chunk,
+    )
+    G = G + jnp.asarray(shift, U.dtype) * jnp.eye(G.shape[0], dtype=U.dtype)
+    chol_G = _chol.safe_cholesky(G).factor
+    return NystromPreconditioner(
+        U=U,
+        chol_G=chol_G,
+        shift=jnp.asarray(shift, U.dtype),
+        landmarks=idx,
+    )
+
+
+def make_nystrom_factor(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x: jnp.ndarray,
+    *,
+    rank: int = 512,
+    key: Optional[jax.Array] = None,
+    jitter: float = 1e-6,
+    row_chunk: Optional[int] = None,
+):
+    """The bare rank-``rank`` Nyström factor of K(x, x): returns
+    ``(U, G, landmarks)`` with K ~= U U^T and G = U^T U (r, r).
+
+    Shared by :func:`make_nystrom_preconditioner` (which shifts G and
+    factorizes) and consumers that re-weight U per outer iteration — the
+    Laplace classifier preconditions B = I + sW K sW with
+    I + (sW U)(sW U)^T, rebuilding only the (r, r) Gram each Newton step
+    while U is computed once (gp/classification.py, r5).
+    """
     x = _k._dist._as_2d(x)
     n = x.shape[0]
     r = min(rank, n)
@@ -137,11 +170,4 @@ def make_nystrom_preconditioner(
             Ut, U, preferred_element_type=U.dtype,
             precision=lax.Precision.HIGHEST,
         )
-    G = G + jnp.asarray(shift, U.dtype) * jnp.eye(r, dtype=U.dtype)
-    chol_G = _chol.safe_cholesky(G).factor
-    return NystromPreconditioner(
-        U=U,
-        chol_G=chol_G,
-        shift=jnp.asarray(shift, U.dtype),
-        landmarks=idx,
-    )
+    return U, G, idx

@@ -218,9 +218,27 @@ def slq_logdet(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and _k.is_stationary(kernel)
     matvec = _make_matvec(kernel, x, noise_variance, use_pallas)
-    n = x.shape[0]
+    return slq_logdet_matvec(
+        lambda v: matvec(params, v), x.shape[0], key,
+        num_probes=num_probes, lanczos_iters=lanczos_iters,
+        dtype=jnp.result_type(x, 1.0),
+    )
+
+
+def slq_logdet_matvec(
+    matvec,
+    n: int,
+    key: jax.Array,
+    *,
+    num_probes: int = 8,
+    lanczos_iters: int = 32,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """log|A| for an arbitrary SPD operator given only ``matvec`` — the
+    generic core of :func:`slq_logdet` (r5: also powers the matrix-free
+    Laplace classifier's logdet(I + sW K sW) term)."""
     m = lanczos_iters
-    dt = jnp.result_type(x, 1.0)
+    dt = jnp.dtype(dtype)
 
     def one_probe(key):
         z = jax.random.rademacher(key, (n,), dtype=dt)
@@ -229,7 +247,7 @@ def slq_logdet(
 
         def step(carry, i):
             Q, q, beta_prev, q_prev = carry
-            w = matvec(params, q) - beta_prev * q_prev
+            w = matvec(q) - beta_prev * q_prev
             alpha = jnp.dot(w, q)
             w = w - alpha * q
             # full reorthogonalisation against all previous vectors

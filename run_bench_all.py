@@ -48,6 +48,9 @@ MODES = [
     # 4x: dense K would be 671 GB; ~3 s/iter so segments shrink to ~14
     ("cg100k", {"GP_BENCH_N": "409600", "GP_BENCH_CG_ITERS": "300"}, 3000),
     ("laplace", {}, 1800),
+    # r5: matrix-free binary Laplace at the north-star scale (fit +
+    # reference-scale m=2048 prediction, K never materialised)
+    ("laplace100k", {}, 2400),
     ("scaling", {}, 1800),
 ]
 
