@@ -43,6 +43,10 @@ Modes (GP_BENCH_MODE):
 - ``laplace`` — binary Laplace GPC fit (true Newton) + batched Alg 3.2
   prediction at n=4096, m=2048 [ref: GP_binary_classification.py:86-154].
   Baseline: the f64 oracle Newton (scipy solves, batched — generous).
+- ``laplace100k`` — the r5 matrix-free binary Laplace at n=102400:
+  Newton with Nystrom-Woodbury-preconditioned CG inner solves over the
+  fused kernel matvec + chunked block-CG prediction at m=2048; parity
+  prob-gated against the dense path at n=4096.
 - ``scaling`` — weak-scaling harness over mesh sizes 1/2/4/8 (SURVEY.md
   sec. 4 item 5): runs the full distributed posterior
   (sharded gram -> panel Cholesky -> block solves) at fixed n-per-device.
@@ -620,7 +624,12 @@ def _bench_cg100k() -> None:
     from gaussian_process_tpu.utils import profiling
 
     n = int(os.environ.get("GP_BENCH_N", 102400))
-    m_test = 8  # variance RHS ride the same kernel tiles (r_pad = 16)
+    # variance RHS ride the same kernel tiles (r_pad = 16 at the default
+    # m = 8). GP_BENCH_M=2048 is the reference-scale variance row
+    # (VERDICT r4 weak #5: "includes_variance" previously always meant
+    # m = 8; the m = 2048 run measures the real block-CG cost — 4 chunks
+    # of 512 test columns, each column sharing every kernel tile)
+    m_test = int(os.environ.get("GP_BENCH_M", 8))
     # iteration cap sized so one device execution stays well under the axon
     # worker's ~60 s execution watchdog (~0.2 s per 100k matvec); the
     # Nystrom preconditioner (linalg/nystrom.py) makes that budget ample —
@@ -648,6 +657,7 @@ def _bench_cg100k() -> None:
         jnp.float32,
     )
     x_test = x[:m_test] + 0.1
+    test_chunk = min(m_test, 512)
     kernel = ops.RBF()
     # lengthscale ~ median-distance scale keeps kappa(K + sI) moderate;
     # noise floor 1e-2 (100k points at this density are highly redundant)
@@ -660,7 +670,7 @@ def _bench_cg100k() -> None:
             post = gp.posterior_cg_segmented(
                 kernel, params, x, y, x_test,
                 noise_variance=noise, tol=cg_tol0, max_iters=max_iters,
-                segment_iters=segment_iters, test_chunk=m_test,
+                segment_iters=segment_iters, test_chunk=test_chunk,
                 use_pallas=True, precond_rank=rank,
             )
             return post.mean, post.var, post.iters, post.resnorm
@@ -670,7 +680,7 @@ def _bench_cg100k() -> None:
             post = gp.posterior_cg(
                 kernel, params, x, y, x_test,
                 noise_variance=noise, tol=cg_tol0, max_iters=max_iters,
-                test_chunk=m_test, use_pallas=True,
+                test_chunk=test_chunk, use_pallas=True,
                 preconditioner="nystrom", precond_rank=rank,
             )
             return post.mean, post.var, post.iters, post.resnorm
@@ -686,7 +696,9 @@ def _bench_cg100k() -> None:
     # contention defense (seconds-scale wall-clock variant): compare vs the
     # committed record; on a >2x anomaly back off and re-measure, bounded.
     cg_trials = [tm["min_s"]]
-    ref_s = _committed_reference_ms(f"cg_posterior_n{n}", unit="s")
+    ref_s = _committed_reference_ms(
+        f"cg_posterior_n{n}" + ("" if m_test == 8 else f"_m{m_test}"), unit="s"
+    )
     cg_contention = False
     for rnd in range(MAX_ANOMALY_ROUNDS - 1):
         if ref_s is None or device_s <= ANOMALY_FACTOR * ref_s:
@@ -708,6 +720,7 @@ def _bench_cg100k() -> None:
     # with rhs = [y | K_s] — and record absolute + relative residuals so
     # the row is readable without source-diving. Hitting the iteration cap
     # with resnorm above stop FAILS the row.
+    metric_name = f"cg_posterior_n{n}" + ("" if m_test == 8 else f"_m{m_test}")
     Ks0 = np.asarray(jax.device_get(
         jax.jit(lambda xa, xb: ops.gram(kernel, params, xa, xb))(x, x_test)
     ), np.float64)
@@ -752,7 +765,7 @@ def _bench_cg100k() -> None:
 
     est_baseline_s = 38.6 * (n / 8192.0) ** 3  # O(n^3) extrapolation, see header
     _emit(
-        f"cg_posterior_n{n}",
+        f"cg_posterior_n{n}" + ("" if m_test == 8 else f"_m{m_test}"),
         device_s,
         "s",
         est_baseline_s / device_s,

@@ -17,6 +17,7 @@ from gaussian_process_tpu.gp.whitened import (
     WhitenedPosterior,
     whitened_posterior,
     whitened_lml,
+    make_whitened_lml_fn,
 )
 from gaussian_process_tpu.gp.classification import (
     BinaryLaplaceState,
@@ -53,6 +54,7 @@ __all__ = [
     "WhitenedPosterior",
     "whitened_posterior",
     "whitened_lml",
+    "make_whitened_lml_fn",
     "BinaryLaplaceState",
     "BinaryLaplaceCGState",
     "BinaryPrediction",

@@ -21,7 +21,7 @@ CONTINUES with the remaining modes (ADVICE r3 low #5 — previously the
 TimeoutExpired escaped, crashed the sweep, and lost the accounting).
 
 Usage:
-    python run_bench_all.py [--out BENCH_ALL_r04.json] [--skip MODE ...]
+    python run_bench_all.py [--out BENCH_ALL_r05.json] [--skip MODE ...]
                             [--only MODE ...]
 """
 
@@ -47,6 +47,9 @@ MODES = [
     ("cg100k", {"GP_BENCH_N": "204800", "GP_BENCH_CG_ITERS": "300"}, 2400),
     # 4x: dense K would be 671 GB; ~3 s/iter so segments shrink to ~14
     ("cg100k", {"GP_BENCH_N": "409600", "GP_BENCH_CG_ITERS": "300"}, 3000),
+    # r5: reference-scale variance (m=2048 test points, 4 block-CG chunks
+    # of 512 columns) — the honest large-m cost, not the m=8 proxy
+    ("cg100k", {"GP_BENCH_M": "2048"}, 3000),
     ("laplace", {}, 1800),
     # r5: matrix-free binary Laplace at the north-star scale (fit +
     # reference-scale m=2048 prediction, K never materialised)
@@ -87,7 +90,7 @@ def _load_existing(out_path: str) -> list:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_ALL_r04.json")
+    ap.add_argument("--out", default="BENCH_ALL_r05.json")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--only", nargs="*", default=None,
                     help="run only these mode keys (e.g. solve chol_n10240)")
@@ -108,7 +111,8 @@ def main() -> None:
 
     write()
     for mode, extra, tmo in MODES:
-        key = mode + ("" if "GP_BENCH_N" not in extra else f"_n{extra['GP_BENCH_N']}")
+        key = mode + ("" if "GP_BENCH_N" not in extra else f"_n{extra['GP_BENCH_N']}") \
+            + ("" if "GP_BENCH_M" not in extra else f"_m{extra['GP_BENCH_M']}")
         if mode in args.skip or key in args.skip:
             print(f"[run_bench_all] skip {key}", flush=True)
             continue

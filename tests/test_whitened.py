@@ -119,3 +119,49 @@ class TestGuards:
             noise_variance=1e-3, dtype=jnp.float64,
         )
         assert np.all(np.isfinite(np.asarray(w.mean)))
+
+
+class TestBatchedWhitenedLML:
+    """make_whitened_lml_fn — the on-chip CO2 search surface (r5). On the
+    CPU suite the 'device' is the host, but the contract is identical:
+    batched f64 values must match the serial whitened_lml and the direct
+    f64 LML."""
+
+    def test_batch_matches_serial_and_direct(self):
+        x, y, _ = datasets.mauna_loa()
+        k = ops.co2_kernel()
+        thetas = np.stack([THETA_BOOK, THETA_BOOK * 1.1, THETA_BOOK * 0.9])
+        batch = gp.make_whitened_lml_fn(
+            k, ops.co2_params_from_vector, x, y,
+            noise_variance=5e-4, dtype=jnp.float64, chunk=2,
+        )
+        got = batch(thetas)
+        assert got.shape == (3,)
+        for i, th in enumerate(thetas):
+            serial = gp.whitened_lml(
+                k, ops.co2_params_from_vector(jnp.asarray(th)), x, y,
+                noise_variance=5e-4, dtype=jnp.float64,
+            )
+            np.testing.assert_allclose(got[i], serial, rtol=1e-10)
+        direct = float(gp.log_marginal_likelihood(
+            k, ops.co2_params_from_vector(jnp.asarray(THETA_BOOK)),
+            jnp.asarray(x), jnp.asarray(y), noise_variance=5e-4,
+        ))
+        np.testing.assert_allclose(got[0], direct, rtol=1e-8)
+
+    def test_single_vector_accepted(self):
+        x, y, _ = datasets.mauna_loa()
+        k = ops.co2_kernel()
+        batch = gp.make_whitened_lml_fn(
+            k, ops.co2_params_from_vector, x, y,
+            noise_variance=5e-4, dtype=jnp.float64,
+        )
+        out = batch(THETA_BOOK)
+        assert out.shape == (1,)
+
+    def test_rejects_nonstationary(self):
+        with pytest.raises(ValueError):
+            gp.make_whitened_lml_fn(
+                ops.Linear(), lambda t: {"offset": t[0]},
+                np.zeros((4, 1)), np.zeros(4), noise_variance=1e-2,
+            )
