@@ -933,10 +933,18 @@ def _bench_laplace100k() -> None:
     from gaussian_process_tpu.utils import profiling
 
     st, pred = run()  # compile + warm
-    jax.block_until_ready((st.f_mode, pred.prob))
-    tm = profiling.time_fn(
-        lambda: jax.block_until_ready(run()[1].prob), warmup=0, iters=2
-    )
+    jax.device_get((st.f_mode[:8], pred.prob[:8]))
+
+    def _timed():
+        st_, pred_ = run()
+        # device_get, NOT block_until_ready: through the axon tunnel
+        # block_until_ready returns before the remote execution finishes
+        # (measured r5: it shifted timings one call behind — a 0.62 s
+        # "measurement" for a ~6 s pipeline); fetching bytes from every
+        # output forces a real sync
+        return jax.device_get((st_.f_mode[:8], pred_.prob, pred_.var))
+
+    tm = profiling.time_fn(_timed, warmup=0, iters=2)
     device_s = tm["min_s"]
     iters = int(st.iters)
     inner = int(st.inner_iters)

@@ -69,6 +69,13 @@ def time_fn(
     Runs ``warmup`` untimed calls (first one pays compilation), then ``iters``
     timed calls, each bracketed by ``block_until_ready`` so asynchronous
     dispatch can't fake a fast time. Returns mean/min/std seconds.
+
+    AXON CAVEAT (measured r5): through the axon TPU tunnel
+    ``block_until_ready`` can return BEFORE the remote execution finishes
+    (timings shift one call behind — a 0.62 s "measurement" for a ~6 s
+    pipeline). When timing axon work, make ``fn`` itself ``device_get``
+    bytes from every output it claims to time (bench.py's cg100k and
+    laplace100k modes do this); the transfer cannot complete early.
     """
     for _ in range(max(warmup, 1)):
         _block(fn(*args, **kwargs))
