@@ -95,7 +95,7 @@ def _local_newton(K, y_loc, valid_loc, *, axis: str, tol, max_iters):
         m_sol = _chol.cholesky_solve(M, rc)
         a = b - c_vec + jax.vmap(e_apply)(Vs, jnp.broadcast_to(m_sol, (Cl, n)))
         f_new = jnp.einsum("ij,cj->ci", K, a, precision=lax.Precision.HIGHEST)
-        return f_new, a, Ls, pi
+        return f_new, a, Ls, pi, M
 
     trace0 = jnp.full((max_iters,), jnp.nan, dtype=dt)
     f0 = jnp.zeros_like(y_loc)
@@ -117,15 +117,19 @@ def _local_newton(K, y_loc, valid_loc, *, axis: str, tol, max_iters):
         cond, body, (jnp.asarray(0), f0, trace0, big)
     )
 
-    f_new, a, Ls, pi = step(f)
+    f_new, a, Ls, pi, M = step(f)
     _, m, s = softmax_parts(f)
     # log-diagonals of dummy-class factors are exactly log diag(chol(I)) = 0,
-    # so no valid-mask is needed in the logdet psum
+    # so no valid-mask is needed in the logdet psum. The stacked logdet is
+    # sum_c log|B_c| + log|sum_c E_c| (r5 correction, matching
+    # gp.laplace_fit_multiclass — see its comment; M is replicated after
+    # the E_sum psum, so its term needs NO psum).
     lml = (
         -0.5 * lax.psum(jnp.sum(a * f), axis)
         + lax.psum(jnp.sum(y_loc * f), axis)
         - jnp.sum(m + jnp.log(s))
         - lax.psum(jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1))), axis)
+        - jnp.sum(jnp.log(jnp.diagonal(M)))
     )
     return f, pi, lml, iters, err <= tol, trace
 

@@ -424,3 +424,105 @@ class TestMatrixFreeLaplace:
         acc_d = float(np.mean(np.asarray(dpred.label) == yte))
         acc_c = float(np.mean(np.asarray(cpred.label) == yte))
         assert acc_c == acc_d and acc_c > 0.85
+
+
+class TestMatrixFreeMulticlass:
+    """laplace_fit_multiclass_cg / predict_multiclass_cg (r5): multiclass
+    joins the matrix-free tier. Each Newton step solves the STACKED
+    B = I + W^{1/2} K W^{1/2} system by preconditioned CG with per-point
+    (C, C) W-roots; one fused kernel sweep serves all C classes."""
+
+    def _problem(self, rng, n=300, m=60, C=3):
+        x = jnp.asarray(rng.uniform(-3, 3, (n, 2)))
+        ang = np.arctan2(np.asarray(x)[:, 1], np.asarray(x)[:, 0])
+        yl = jnp.asarray(((ang + np.pi) / (2 * np.pi) * C).astype(int) % C)
+        xt = jnp.asarray(rng.uniform(-3, 3, (m, 2)))
+        k = ops.RBF()
+        return k, k.init_params(), x, yl, xt, C
+
+    def test_fit_predict_matches_dense(self, rng):
+        k, p, x, yl, xt, C = self._problem(rng)
+        dense = gp.fit_multiclass(k, p, x, yl, num_classes=C)
+        dpred = gp.predict_multiclass(k, p, dense, x, yl, xt, num_classes=C)
+        cgst = gp.laplace_fit_multiclass_cg(
+            k, p, x, yl, C, precond_rank=64, use_pallas=False
+        )
+        cpred = gp.predict_multiclass_cg(k, p, cgst, x, yl, xt, C)
+        assert int(cgst.iters) == int(dense.iters)
+        assert bool(cgst.converged)
+        np.testing.assert_allclose(np.asarray(cgst.f_mode),
+                                   np.asarray(dense.f_mode),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cpred.prob),
+                                   np.asarray(dpred.prob),
+                                   rtol=1e-4, atol=1e-5)
+        assert np.array_equal(np.asarray(cpred.label),
+                              np.asarray(dpred.label))
+
+    def test_dense_lml_matches_stacked_f64_oracle(self, rng):
+        """The corrected R&W 3.44 logdet (r5 bug fix — the per-class
+        sum_c log|B_c| alone overstates the penalty; log|sum_c E_c|
+        carries the other half): dense LML must equal the brute-force
+        stacked-system f64 value."""
+        k, p, x, yl, _, C = self._problem(rng, n=120, m=8)
+        dense = gp.fit_multiclass(k, p, x, yl, num_classes=C)
+        K = np.asarray(ops.gram(k, p, x), np.float64)
+        pi = np.asarray(dense.pi, np.float64)
+        f = np.asarray(dense.f_mode, np.float64)
+        n = K.shape[0]
+        y1 = np.asarray(gp.one_hot_targets(yl, C), np.float64)
+        N = C * n
+        W = np.zeros((N, N))
+        Kf = np.zeros((N, N))
+        for i in range(n):
+            pv = pi[:, i]
+            Wi = np.diag(pv) - np.outer(pv, pv)
+            for c in range(C):
+                for d in range(C):
+                    W[c * n + i, d * n + i] = Wi[c, d]
+        for c in range(C):
+            Kf[c * n:(c + 1) * n, c * n:(c + 1) * n] = K
+        fv = f.reshape(N)
+        a = np.linalg.solve(Kf, fv)
+        want = (
+            -0.5 * fv @ a + y1.reshape(N) @ fv
+            - np.sum(np.log(np.sum(np.exp(f), axis=0)))
+            - 0.5 * np.linalg.slogdet(np.eye(N) + W @ Kf)[1]
+        )
+        np.testing.assert_allclose(float(dense.lml), want, rtol=1e-8)
+
+    def test_slq_lml_close_to_dense(self, rng):
+        k, p, x, yl, _, C = self._problem(rng, n=240, m=8)
+        dense = gp.fit_multiclass(k, p, x, yl, num_classes=C)
+        cgst = gp.laplace_fit_multiclass_cg(
+            k, p, x, yl, C, precond_rank=64, use_pallas=False,
+            compute_lml=True, lml_probes=16,
+        )
+        rel = abs(float(cgst.lml) - float(dense.lml)) / abs(float(dense.lml))
+        assert rel < 2e-2, (float(cgst.lml), float(dense.lml))
+
+    def test_blobs_accuracy_matches_dense(self, rng):
+        """End-to-end on the reference's blobs workload
+        [ref: GP_multi_classification.py:200-211]."""
+        X, yb = make_blobs(n_samples=180, centers=3, cluster_std=1.2,
+                           random_state=0)
+        X = StandardScaler().fit_transform(X)
+        xtr, xte, ytr, yte = train_test_split(X, yb, test_size=0.4,
+                                              random_state=0)
+        k = ops.RBF()
+        p = k.init_params()
+        dense = gp.fit_multiclass(k, p, jnp.asarray(xtr),
+                                  jnp.asarray(ytr), num_classes=3)
+        dpred = gp.predict_multiclass(k, p, dense, jnp.asarray(xtr),
+                                      jnp.asarray(ytr), jnp.asarray(xte),
+                                      num_classes=3)
+        cgst = gp.laplace_fit_multiclass_cg(
+            k, p, jnp.asarray(xtr), jnp.asarray(ytr), 3,
+            precond_rank=48, use_pallas=False,
+        )
+        cpred = gp.predict_multiclass_cg(k, p, cgst, jnp.asarray(xtr),
+                                         jnp.asarray(ytr),
+                                         jnp.asarray(xte), 3)
+        acc_d = float(np.mean(np.asarray(dpred.label) == yte))
+        acc_c = float(np.mean(np.asarray(cpred.label) == yte))
+        assert acc_c == acc_d and acc_c > 0.85
