@@ -209,23 +209,53 @@ class GPBinaryClassifier:
         self.state = None
 
     def fit(
-        self, x: jnp.ndarray, y: jnp.ndarray, *, tol=None, max_iters: int = 100
+        self, x: jnp.ndarray, y: jnp.ndarray, *, tol=None,
+        max_iters: int = 100, solver: str = "auto",
+        precond_rank: int = 512,
     ) -> "GPBinaryClassifier":
+        """``solver``: "cholesky" (dense Newton), "cg" (matrix-free Newton —
+        gp.laplace_fit_cg, the n ~ 100k+ tier where the dense n x n factor
+        per step cannot exist), or "auto" (cg above n = 32768)."""
         self.x_train = jnp.asarray(x)
-        self.state = _cls.fit_binary(
-            self.kernel,
-            self.params,
-            self.x_train,
-            jnp.asarray(y),
-            tol=tol,
-            max_iters=max_iters,
-            dist_method=self.dist_method,
-        )
+        n = self.x_train.shape[0]
+        if solver == "auto":
+            solver = "cg" if n > 32768 else "cholesky"
+        self._solver = solver
+        if solver == "cg":
+            self.state = _cls.laplace_fit_cg(
+                self.kernel,
+                self.params,
+                self.x_train,
+                jnp.asarray(y),
+                tol=tol,
+                max_iters=max_iters,
+                precond_rank=precond_rank,
+            )
+        elif solver == "cholesky":
+            self.state = _cls.fit_binary(
+                self.kernel,
+                self.params,
+                self.x_train,
+                jnp.asarray(y),
+                tol=tol,
+                max_iters=max_iters,
+                dist_method=self.dist_method,
+            )
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
         return self
 
     def _predict_full(self, x_test) -> _cls.BinaryPrediction:
         if self.state is None:
             raise RuntimeError("call fit() first")
+        if self._solver == "cg":
+            return _cls.predict_binary_cg(
+                self.kernel,
+                self.params,
+                self.state,
+                self.x_train,
+                jnp.asarray(x_test),
+            )
         return _cls.predict_binary(
             self.kernel,
             self.params,
@@ -272,25 +302,58 @@ class GPMulticlassClassifier:
         self.state = None
 
     def fit(
-        self, x: jnp.ndarray, y_labels: jnp.ndarray, *, tol=None, max_iters: int = 100
+        self, x: jnp.ndarray, y_labels: jnp.ndarray, *, tol=None,
+        max_iters: int = 100, solver: str = "auto",
+        precond_rank: int = 512,
     ) -> "GPMulticlassClassifier":
+        """``solver``: "cholesky" (per-class dense factorizations), "cg"
+        (matrix-free stacked-system Newton — gp.laplace_fit_multiclass_cg),
+        or "auto" (cg above n = 32768)."""
         self.x_train = jnp.asarray(x)
         self.y_labels = jnp.asarray(y_labels)
-        self.state = _mc.fit_multiclass(
-            self.kernel,
-            self.params,
-            self.x_train,
-            self.y_labels,
-            self.num_classes,
-            tol=tol,
-            max_iters=max_iters,
-            dist_method=self.dist_method,
-        )
+        n = self.x_train.shape[0]
+        if solver == "auto":
+            solver = "cg" if n > 32768 else "cholesky"
+        self._solver = solver
+        if solver == "cg":
+            self.state = _mc.laplace_fit_multiclass_cg(
+                self.kernel,
+                self.params,
+                self.x_train,
+                self.y_labels,
+                self.num_classes,
+                tol=tol,
+                max_iters=max_iters,
+                precond_rank=precond_rank,
+            )
+        elif solver == "cholesky":
+            self.state = _mc.fit_multiclass(
+                self.kernel,
+                self.params,
+                self.x_train,
+                self.y_labels,
+                self.num_classes,
+                tol=tol,
+                max_iters=max_iters,
+                dist_method=self.dist_method,
+            )
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
         return self
 
     def _predict_full(self, x_test) -> _mc.MulticlassPrediction:
         if self.state is None:
             raise RuntimeError("call fit() first")
+        if self._solver == "cg":
+            return _mc.predict_multiclass_cg(
+                self.kernel,
+                self.params,
+                self.state,
+                self.x_train,
+                self.y_labels,
+                jnp.asarray(x_test),
+                self.num_classes,
+            )
         return _mc.predict_multiclass(
             self.kernel,
             self.params,

@@ -6,6 +6,7 @@ GP_multi_classification.py:253])."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussian_process_tpu import gp, ops
 from gaussian_process_tpu.models import (
@@ -110,3 +111,42 @@ class TestPosteriorWhitened:
         np.testing.assert_allclose(np.asarray(w.mean), np.asarray(ref.mean), atol=1e-9)
         np.testing.assert_allclose(np.asarray(w.std), np.asarray(ref.std), atol=1e-9)
         assert abs(float(w.lml) - float(ref.lml)) < 1e-7
+
+
+class TestClassifierCGSolver:
+    """solver="cg" on the classifier facades (r5): matrix-free fit/predict
+    must reproduce the dense solver's labels and probabilities."""
+
+    def test_binary_cg_matches_cholesky(self, rng):
+        x = rng.uniform(-3, 3, (240, 2))
+        y = np.where(np.sin(1.5 * x[:, 0]) - x[:, 1] > 0, 1.0, -1.0)
+        xt = rng.uniform(-3, 3, (60, 2))
+        a = GPBinaryClassifier(ops.RBF()).fit(x, y, solver="cholesky")
+        b = GPBinaryClassifier(ops.RBF()).fit(x, y, solver="cg",
+                                                     precond_rank=48)
+        np.testing.assert_array_equal(np.asarray(a.predict(xt)),
+                                      np.asarray(b.predict(xt)))
+        np.testing.assert_allclose(np.asarray(a.predict_proba(xt)),
+                                   np.asarray(b.predict_proba(xt)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_multiclass_cg_matches_cholesky(self, rng):
+        x = rng.uniform(-3, 3, (210, 2))
+        ang = np.arctan2(x[:, 1], x[:, 0])
+        y = ((ang + np.pi) / (2 * np.pi) * 3).astype(int) % 3
+        xt = rng.uniform(-3, 3, (40, 2))
+        a = GPMulticlassClassifier(ops.RBF(), 3).fit(
+            x, y, solver="cholesky")
+        b = GPMulticlassClassifier(ops.RBF(), 3).fit(
+            x, y, solver="cg", precond_rank=48)
+        np.testing.assert_array_equal(np.asarray(a.predict(xt)),
+                                      np.asarray(b.predict(xt)))
+        np.testing.assert_allclose(np.asarray(a.predict_proba(xt)),
+                                   np.asarray(b.predict_proba(xt)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_unknown_solver_raises(self, rng):
+        x = rng.uniform(-3, 3, (20, 2))
+        y = np.ones(20)
+        with pytest.raises(ValueError):
+            GPBinaryClassifier(ops.RBF()).fit(x, y, solver="qr")
