@@ -98,6 +98,23 @@ def main() -> None:
     print(f"mean |mu - y| at observed points: {err:.4f}")
     log.log("fit_check", mean_abs_err=err)
 
+    # the r5 production large-n path: Nyström-preconditioned SEGMENTED
+    # distributed CG — bounded device calls, sharded-CGState checkpoints,
+    # exact resume (parallel.distributed_posterior_cg_segmented); at the
+    # 100k scale Jacobi CG stalls, so this is the path a real run takes
+    mean_s, var_s, _alpha, it_s, res_s, _state = (
+        parallel.distributed_posterior_cg_segmented(
+            kernel, params, x, y, x_test, mesh=mesh, noise_variance=1e-2,
+            preconditioner="nystrom", precond_rank=min(256, n // 4),
+            segment_iters=20,
+        )
+    )
+    seg_err = float(jnp.max(jnp.abs(mean_s - mean)))
+    log.log("segmented_nystrom_done", cg_iters=int(it_s),
+            residual=float(res_s), max_abs_diff_vs_jacobi_solver=seg_err)
+    print(f"segmented Nyström CG: {int(it_s)} iters (vs {int(iters)} "
+          f"Jacobi), residual {float(res_s):.2e}, |d mean| {seg_err:.2e}")
+
     if args.restarts:
         key = jax.random.key(0)
         ls = jax.random.uniform(key, (args.restarts,), minval=0.3, maxval=3.0)
