@@ -53,7 +53,8 @@ Modes (GP_BENCH_MODE):
   On this single-chip image it runs on an emulated CPU mesh (honest label
   in the JSON); on a pod slice the same code takes the real mesh.
 
-Env: GP_BENCH_NTRAIN / GP_BENCH_NTEST / GP_BENCH_N / GP_BENCH_SKIP_BASELINE=1
+Env: GP_BENCH_NTRAIN / GP_BENCH_NTEST / GP_BENCH_N / GP_BENCH_M (cg100k
+variance width + laplace100k test count) / GP_BENCH_SKIP_BASELINE=1
 / GP_BENCH_CG_ITERS / GP_BENCH_CG_RANK / GP_BENCH_REPEATS / GP_BENCH_GATE_MEAN / GP_BENCH_GATE_LML.
 
 Roofline (v5e: 197 TF/s bf16 MXU, ~819 GB/s HBM; f32 GEMMs are bf16

@@ -158,3 +158,37 @@ class TestDistributedNystromCG:
                                    rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(np.asarray(v), np.asarray(sc.var),
                                    rtol=1e-5, atol=1e-9)
+
+    def test_sharded_state_roundtrips_utils_checkpoint(self, mesh8, tmp_path):
+        """Cross-process preemption: persist the sharded CGState with
+        utils.checkpoint mid-solve, restore it into freshly-sharded
+        arrays, resume — same answer as the uninterrupted run."""
+        from gaussian_process_tpu.utils import checkpoint as ckpt
+
+        k, p, x, y, xt, noise = _ill_conditioned(n=2048, d=1, seed=4,
+                                                 noise=1e-4)
+        kw = dict(mesh=mesh8, noise_variance=noise, tol=1e-9, max_iters=200,
+                  segment_iters=3, preconditioner="nystrom", precond_rank=16)
+        ref = pcg.distributed_posterior_cg_segmented(k, p, x, y, xt, **kw)
+        states = []
+        pcg.distributed_posterior_cg_segmented(
+            k, p, x, y, xt, checkpoint_cb=lambda i, st: states.append(st),
+            **kw,
+        )
+        mid = states[1]
+        path = ckpt.save(str(tmp_path / "dist_cg"), mid)
+        template = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(jnp.asarray(a)), mid
+        )
+        leaves = ckpt.restore(path, template)
+        restored = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(mid),
+            jax.tree_util.tree_leaves(leaves),
+        )
+        resumed = pcg.distributed_posterior_cg_segmented(
+            k, p, x, y, xt, resume_state=restored, **kw
+        )
+        assert int(resumed[3]) == int(ref[3])
+        np.testing.assert_allclose(np.asarray(resumed[0]),
+                                   np.asarray(ref[0]),
+                                   rtol=1e-9, atol=1e-11)
