@@ -730,14 +730,18 @@ def _bench_cg100k() -> None:
     cg_tol = cg_tol0
     stop_abs = cg_tol * max(rhs_norm, 1e-30)
     resnorm_rel = resnorm / max(rhs_norm, 1e-30)
-    converged = resnorm <= stop_abs or iters < max_iters
-    _log(f"[bench] cg100k: {iters} iters (cap {max_iters}), resnorm "
-         f"{resnorm:.2e} abs = {resnorm_rel:.2e} rel (stop {stop_abs:.2e} "
-         f"= tol {cg_tol:g} x ||rhs|| {rhs_norm:.3g}), {device_s:.2f} s "
-         f"(mean+var, m={m_test})")
-    if iters >= max_iters and resnorm > stop_abs:
-        _log(f"[bench] CG GATE FAILED: hit the {max_iters}-iteration cap "
-             f"with resnorm {resnorm:.2e} > stop {stop_abs:.2e}")
+    # `iters` is summed over ALL chunk block-solves (m=2048 runs 5), so
+    # comparing it against the per-solve cap is meaningless — the honest
+    # criterion is simply whether the worst final residual beat the stop
+    # threshold (NaN fails closed via the <= negation)
+    converged = resnorm <= stop_abs
+    _log(f"[bench] cg100k: {iters} total iters (per-solve cap {max_iters}),"
+         f" resnorm {resnorm:.2e} abs = {resnorm_rel:.2e} rel (stop "
+         f"{stop_abs:.2e} = tol {cg_tol:g} x ||rhs|| {rhs_norm:.3g}), "
+         f"{device_s:.2f} s (mean+var, m={m_test})")
+    if not converged:
+        _log(f"[bench] CG GATE FAILED: worst resnorm {resnorm:.2e} > stop "
+             f"{stop_abs:.2e} (per-solve cap {max_iters})")
         raise ParityGateError(1)
 
     # per-iteration tile work: sqdist cross-term rides the MXU at d_pad=128
@@ -921,10 +925,25 @@ def _bench_laplace100k() -> None:
     xtd = jnp.asarray(xt, jnp.float32)
     params = {"sigma": jnp.float32(SIGMA), "lengthscale": jnp.float32(LENGTHSCALE)}
 
+    # past ~150k one monolithic Newton while_loop exceeds the axon ~60 s
+    # single-execution watchdog (one n=409600 tile sweep is ~10 s), so the
+    # bench switches to the segmented host-loop fit (bounded device calls,
+    # Nystrom factor built once, warm-started Newton; identical math) and
+    # narrows the prediction chunks to keep each block solve bounded too
+    segmented = n > 150_000
+    if segmented:
+        test_chunk = 128
+
     def run():
-        st = gp.laplace_fit_cg(
-            kernel, params, xd, yd, cg_tol=cg_tol, precond_rank=rank,
-        )
+        if segmented:
+            st = gp.laplace_fit_cg_segmented(
+                kernel, params, xd, yd, cg_tol=cg_tol, precond_rank=rank,
+                newton_per_call=1,
+            )
+        else:
+            st = gp.laplace_fit_cg(
+                kernel, params, xd, yd, cg_tol=cg_tol, precond_rank=rank,
+            )
         pred = gp.predict_binary_cg(
             kernel, params, st, xd, xtd, cg_tol=cg_tol,
             test_chunk=test_chunk,
@@ -945,7 +964,7 @@ def _bench_laplace100k() -> None:
         # output forces a real sync
         return jax.device_get((st_.f_mode[:8], pred_.prob, pred_.var))
 
-    tm = profiling.time_fn(_timed, warmup=0, iters=2)
+    tm = profiling.time_fn(_timed, warmup=0, iters=2 if not segmented else 1)
     device_s = tm["min_s"]
     iters = int(st.iters)
     inner = int(st.inner_iters)
@@ -989,6 +1008,7 @@ def _bench_laplace100k() -> None:
         cg_tol=cg_tol,
         converged=bool(st.converged),
         precond_rank=rank,
+        segmented=bool(segmented),
         variance_m=m,
         parity_max_prob_err_n4096=prob_err,
         label_agreement_n4096=label_agree,

@@ -329,6 +329,7 @@ def laplace_fit_cg(
     precond_rank: int = 512,
     use_pallas: bool = None,
     f_init: jnp.ndarray = None,
+    precond_factor: jnp.ndarray = None,
     compute_lml: bool = False,
     lml_probes: int = 8,
     lml_lanczos_iters: int = 32,
@@ -389,11 +390,16 @@ def laplace_fit_cg(
         def Kmv(v):
             return K @ v
 
-    from gaussian_process_tpu.linalg import nystrom as _nys
+    if precond_factor is not None:
+        # prebuilt Nyström factor (laplace_fit_cg_segmented builds it once
+        # across many bounded calls instead of once per call)
+        U = precond_factor
+    else:
+        from gaussian_process_tpu.linalg import nystrom as _nys
 
-    U, _G, _idx = _nys.make_nystrom_factor(
-        k_nw, p_nw, x_train, rank=min(precond_rank, n)
-    )
+        U, _G, _idx = _nys.make_nystrom_factor(
+            k_nw, p_nw, x_train, rank=min(precond_rank, n)
+        )
     r = U.shape[1]
     dt = U.dtype
     y = jnp.asarray(y_train, dt)
@@ -496,6 +502,96 @@ def laplace_fit_cg(
         inner_iters=inner,
         converged=err <= tol,
         error_trace=trace,
+    )
+
+
+def laplace_fit_cg_segmented(
+    kernel: _k.Kernel,
+    params: _k.Params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    *,
+    tol: float = None,
+    max_iters: int = 100,
+    newton_per_call: int = 1,
+    cg_tol: float = 1e-6,
+    cg_max_iters: int = 200,
+    precond_rank: int = 512,
+    use_pallas: bool = None,
+    checkpoint_cb=None,
+    resume_f: jnp.ndarray = None,
+) -> BinaryLaplaceCGState:
+    """Matrix-free Laplace fit as a host loop of BOUNDED device calls —
+    the classification twin of ``gp.posterior_cg_segmented``.
+
+    Why: at n = 409600 one matrix-free Newton sweep costs ~10 s of
+    kernel-tile evaluation per step and the monolithic
+    :func:`laplace_fit_cg` while_loop is a single device execution —
+    past the axon worker's ~60 s watchdog. Here each device call runs
+    ``newton_per_call`` Newton steps (warm-started via ``f_init`` — the
+    Newton iterate is self-contained state, unlike CG's Krylov basis, so
+    a restart loses nothing), the Nyström preconditioner factor is built
+    ONCE and passed into every call, and ``checkpoint_cb(step_total, f)``
+    persists the iterate (``resume_f`` continues a preempted fit).
+    Convergence uses the same relative ||f_new - f|| criterion, checked
+    host-side between calls.
+    """
+    x_train = jnp.atleast_2d(x_train)
+    n = x_train.shape[0]
+    dt = jnp.result_type(jnp.asarray(x_train), jnp.float32)
+    if tol is None:
+        tol = 10.0 * float(np.sqrt(np.finfo(np.dtype(dt)).eps))
+    k_nw, p_nw, _w = _k.split_white(kernel, params)
+    from gaussian_process_tpu.linalg import nystrom as _nys
+
+    U, _G, _idx = jax.jit(
+        lambda p_nw, x: _nys.make_nystrom_factor(
+            k_nw, p_nw, x, rank=min(precond_rank, n)
+        )
+    )(p_nw, x_train)
+
+    f = (
+        jnp.zeros(n, U.dtype)
+        if resume_f is None
+        else jnp.asarray(resume_f, U.dtype)
+    )
+    total = 0
+    inner_total = 0
+    err = float("inf")
+    trace = []
+    state = None
+    while total < max_iters:
+        state = laplace_fit_cg(
+            kernel, params, x_train, y_train,
+            tol=0.0,  # always run the full newton_per_call budget
+            max_iters=newton_per_call, cg_tol=cg_tol,
+            cg_max_iters=cg_max_iters, use_pallas=use_pallas,
+            f_init=f, precond_factor=U,
+        )
+        f_new = state.f_mode
+        num = float(jnp.linalg.norm(f_new - f))
+        den = 1.0 + float(jnp.linalg.norm(f_new))
+        err = num / den
+        total += int(state.iters)
+        inner_total += int(state.inner_iters)
+        trace.append(err)
+        f = f_new
+        if checkpoint_cb is not None:
+            checkpoint_cb(total, f)
+        if err <= tol:
+            break
+    trace_arr = jnp.full((max_iters,), jnp.nan, dtype=U.dtype)
+    trace_arr = trace_arr.at[: len(trace)].set(jnp.asarray(trace, U.dtype))
+    return BinaryLaplaceCGState(
+        f_mode=f,
+        grad_at_mode=state.grad_at_mode,
+        sqrt_w=state.sqrt_w,
+        U=U,
+        lml=state.lml,
+        iters=jnp.asarray(total),
+        inner_iters=jnp.asarray(inner_total),
+        converged=jnp.asarray(err <= tol),
+        error_trace=trace_arr,
     )
 
 

@@ -247,14 +247,23 @@ def gram_matvec(
         # VMEM-resident accumulator. Measured r4 at n=102400, r=16:
         # 79.7 ms/matvec vs 133.8 for the full sweep (both with _dot3),
         # parity 8.6e-7, compiles inside while/fori bodies up to n=409600.
-        # Gate on the accumulator's VMEM footprint (exact in this layout).
+        # Gate on the accumulator's VMEM footprint AND the RHS width:
+        # wide-v blocks also stream two double-buffered (tile, r_pad)
+        # v-tiles plus transposed dot workspace, which blew scoped vmem at
+        # r_pad = 2056 even with a 33 MB accumulator (measured r5: 87.9 MB
+        # used vs the 80 MB limit — the bench m=2048 parity block). Wide
+        # RHS amortises tile evaluations across columns anyway, so the
+        # full sweep loses little there; the symmetric win is the
+        # thin-RHS (CG) regime.
         n_rows = _k._dist._as_2d(x1).shape[0]
         r_pad_est = max(8, _round_up(v.shape[1], 8))
         n_pad_est = _round_up(n_rows, tile_m)
         sym = bool(
             symmetric
             if symmetric is not None
-            else r_pad_est * n_pad_est * 4 <= (48 << 20) and n_rows >= 2048
+            else r_pad_est <= 64
+            and r_pad_est * n_pad_est * 4 <= (48 << 20)
+            and n_rows >= 2048
         )
         out = _matvec_core(
             k_nw, int(tile_m), int(tile_n), _auto_interpret(interpret),
@@ -329,6 +338,20 @@ def _matvec_fwd_impl(kernel, tile_m, tile_n, interpret, dtype_name, dot_mode, pa
             (tile_m, r_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        # explicit scoped-vmem budget: wide-RHS blocks (the m=2048
+        # variance chunks ride r_pad ~ 2056) double-buffer (tile, r_pad)
+        # v/out tiles past the 16 MB default that applies inside
+        # while/fori bodies — i.e. inside CG, which is where this runs
+        # (measured r5: 17.5 MB needed at tile 512, r_pad 2056)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                112 << 20,
+                2 * 4 * (
+                    (tile_m + tile_n) * (r_pad + d_pad)
+                    + tile_m * tile_n
+                ) + (16 << 20),
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * m_pad * (d_pad + r_pad) + 8 * n_pad * m_pad,
             bytes_accessed=(n_pad + m_pad) * d_pad * 4 + m_pad * r_pad * 4,

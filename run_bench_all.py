@@ -54,6 +54,9 @@ MODES = [
     # r5: matrix-free binary Laplace at the north-star scale (fit +
     # reference-scale m=2048 prediction, K never materialised)
     ("laplace100k", {}, 2400),
+    # 4x: segmented host-loop Newton (bounded device calls) + narrowed
+    # prediction chunks; dense B at this n would be 671 GB
+    ("laplace100k", {"GP_BENCH_N": "409600"}, 3600),
     ("scaling", {}, 1800),
 ]
 

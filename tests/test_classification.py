@@ -526,3 +526,51 @@ class TestMatrixFreeMulticlass:
         acc_d = float(np.mean(np.asarray(dpred.label) == yte))
         acc_c = float(np.mean(np.asarray(cpred.label) == yte))
         assert acc_c == acc_d and acc_c > 0.85
+
+
+class TestSegmentedLaplaceCG:
+    """laplace_fit_cg_segmented (r5): bounded-call Newton with warm-start
+    resume must land on the monolithic matrix-free fit."""
+
+    def test_matches_monolithic(self, rng):
+        x = jnp.asarray(rng.uniform(-3, 3, (300, 2)))
+        f_true = np.sin(np.asarray(x).sum(axis=1))
+        y = jnp.asarray(np.where(
+            f_true + 0.3 * rng.standard_normal(300) > 0, 1.0, -1.0))
+        k = ops.RBF()
+        p = k.init_params()
+        mono = gp.laplace_fit_cg(k, p, x, y, precond_rank=48,
+                                 use_pallas=False)
+        steps = []
+        seg = gp.laplace_fit_cg_segmented(
+            k, p, x, y, precond_rank=48, use_pallas=False,
+            newton_per_call=2,
+            checkpoint_cb=lambda i, f: steps.append(i),
+        )
+        assert len(steps) >= 2 and steps == sorted(steps)
+        assert bool(seg.converged)
+        np.testing.assert_allclose(np.asarray(seg.f_mode),
+                                   np.asarray(mono.f_mode),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_resume_f_continues(self, rng):
+        x = jnp.asarray(rng.uniform(-3, 3, (240, 2)))
+        y = jnp.asarray(np.where(
+            np.sin(np.asarray(x).sum(axis=1)) > 0, 1.0, -1.0))
+        k = ops.RBF()
+        p = k.init_params()
+        ref = gp.laplace_fit_cg_segmented(k, p, x, y, precond_rank=48,
+                                          use_pallas=False)
+        fs = []
+        # "preempt" after the first call by capping max_iters
+        part = gp.laplace_fit_cg_segmented(
+            k, p, x, y, precond_rank=48, use_pallas=False, max_iters=2,
+            newton_per_call=2, checkpoint_cb=lambda i, f: fs.append(f),
+        )
+        resumed = gp.laplace_fit_cg_segmented(
+            k, p, x, y, precond_rank=48, use_pallas=False,
+            resume_f=fs[-1],
+        )
+        np.testing.assert_allclose(np.asarray(resumed.f_mode),
+                                   np.asarray(ref.f_mode),
+                                   rtol=1e-6, atol=1e-8)
