@@ -658,7 +658,13 @@ def _bench_cg100k() -> None:
         jnp.float32,
     )
     x_test = x[:m_test] + 0.1
-    test_chunk = min(m_test, 512)
+    # full-width block solve: all m columns ride EVERY kernel tile per
+    # iteration, so one monolithic solve costs ~the same dot work as the
+    # chunked ones but a fraction of the tile evaluations. Measured r5 at
+    # n=102400, m=2048: chunk 512 -> 45.6 s / 155 total iters; chunk 1024
+    # -> 41.4 s / 80; chunk 2048 (one solve) -> 35.1 s / 38 iters (1.30x)
+    # with the single ~35 s execution still under the worker watchdog.
+    test_chunk = int(os.environ.get("GP_BENCH_CG_CHUNK", min(m_test, 2048)))
     kernel = ops.RBF()
     # lengthscale ~ median-distance scale keeps kappa(K + sI) moderate;
     # noise floor 1e-2 (100k points at this density are highly redundant)

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--dataset", choices=["moons", "circles", "linsep"], default="moons")
     ap.add_argument("--noise", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--solver", choices=["cholesky", "cg"], default="cholesky",
+                    help="cg = the matrix-free Newton path (r5): Nystrom-"
+                         "Woodbury-preconditioned CG inner solves, the same "
+                         "pipeline that runs at n = 100k-409k on one chip")
     ap.add_argument("--out", default="artifacts/gp_binary")
     args = ap.parse_args()
 
@@ -47,8 +51,14 @@ def main() -> None:
     ytr = jnp.asarray(y_train, jnp.float32)
     Xte = jnp.asarray(X_test, jnp.float32)
 
-    state = gp.fit_binary(kernel, params, Xtr, ytr)
-    pred = gp.predict_binary(kernel, params, state, Xtr, Xte)
+    if args.solver == "cg":
+        state = gp.laplace_fit_cg(kernel, params, Xtr, ytr,
+                                  precond_rank=min(64, Xtr.shape[0]),
+                                  compute_lml=True)  # SLQ estimate
+        pred = gp.predict_binary_cg(kernel, params, state, Xtr, Xte)
+    else:
+        state = gp.fit_binary(kernel, params, Xtr, ytr)
+        pred = gp.predict_binary(kernel, params, state, Xtr, Xte)
     acc = float((np.asarray(pred.label) == y_test).mean())
 
     # reference-metric reproduction (quirk Q2): prior sample on the
