@@ -131,6 +131,33 @@ def main() -> None:
         multihost.fetch_replicated(var_g), np.asarray(oracle.var), atol=1e-6
     )
 
+    # r5: the Nyström-preconditioned path with the DATA axis spanning the
+    # DCN boundary — landmark assembly + the r x k preconditioner psum
+    # cross hosts, segmented resume included (two bounded segments)
+    segs = parallel.make_posterior_cg_segments(
+        kernel, mesh=mesh_flat, noise_variance=1e-4, tol=1e-10,
+        max_iters=200, segment_iters=4, n_true=n_uneven,
+        preconditioner="nystrom", precond_rank=8,
+    )
+    pre = segs["build_pre"](kernel.init_params(), xg_u)
+    st_n, _bn = segs["start"](kernel.init_params(), xg_u, yg_u, xt_g, pre)
+    for _ in range(20):
+        if float(multihost.fetch_replicated(st_n.resnorm)) <= 1e-10 * 10:
+            break
+        prev = int(multihost.fetch_replicated(st_n.iters))
+        st_n = segs["cont"](kernel.init_params(), xg_u, yg_u, xt_g, pre, st_n)
+        if int(multihost.fetch_replicated(st_n.iters)) == prev:
+            break
+    mean_n, var_n, _a, _it, _rn = segs["finish"](
+        kernel.init_params(), xg_u, yg_u, xt_g, st_n
+    )
+    np.testing.assert_allclose(
+        multihost.fetch_replicated(mean_n), np.asarray(oracle.mean), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        multihost.fetch_replicated(var_n), np.asarray(oracle.var), atol=1e-6
+    )
+
     # ---- sharded-array checkpointing: per-shard save, global restore
     # (VERDICT r2 missing #3: device_get on a non-fully-addressable array)
     assert not yg_u.is_fully_addressable
