@@ -1022,6 +1022,107 @@ def _bench_laplace100k() -> None:
     )
 
 
+def _bench_multiclass100k() -> None:
+    """Multi-class softmax-Laplace MATRIX-FREE at n ~ 100k (r5): each
+    Newton step solves the stacked B = I + W^1/2 K W^1/2 system by CG
+    with the full-coupling Nyström-Woodbury preconditioner (measured ~2-4
+    inner iterations/step); every B matvec is one fused kernel sweep with
+    C=3 right-hand sides. Prediction = chunked cross-gram means (the
+    reference's metric [ref: GP_multi_classification.py:179-197] needs no
+    solve). Parity: prob + label agreement vs the dense per-class-factor
+    path at n=4096.
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from gaussian_process_tpu import gp, ops
+
+    n = int(os.environ.get("GP_BENCH_N", 102400))
+    m = int(os.environ.get("GP_BENCH_M", 2048))
+    C = 3
+    rank = int(os.environ.get("GP_BENCH_CG_RANK", 256))
+    cg_tol = 1e-4
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-3.0, 3.0, (n, 2))
+    ang = np.arctan2(x[:, 1], x[:, 0])
+    y = ((ang + np.pi) / (2 * np.pi) * C).astype(int) % C
+    xt = rng.uniform(-3.0, 3.0, (m, 2))
+    kernel = ops.RBF()
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.int32)
+    xtd = jnp.asarray(xt, jnp.float32)
+    params = {"sigma": jnp.float32(SIGMA), "lengthscale": jnp.float32(LENGTHSCALE)}
+
+    def run():
+        st = gp.laplace_fit_multiclass_cg(
+            kernel, params, xd, yd, C, cg_tol=cg_tol, precond_rank=rank,
+        )
+        pred = gp.predict_multiclass_cg(
+            kernel, params, st, xd, yd, xtd, C, test_chunk=2048,
+        )
+        return st, pred
+
+    from gaussian_process_tpu.utils import profiling
+
+    st, pred = run()  # compile + warm
+    jax.device_get((st.f_mode[:, :8], pred.prob[:, :8]))
+
+    def _timed():
+        st_, pred_ = run()
+        # device_get forces a real sync through the axon tunnel (see
+        # laplace100k)
+        return jax.device_get((st_.f_mode[:, :8], pred_.prob, pred_.label))
+
+    tm = profiling.time_fn(_timed, warmup=0, iters=2)
+    device_s = tm["min_s"]
+    iters = int(st.iters)
+    inner = int(st.inner_iters)
+    _log(f"[bench] multiclass100k n={n} C={C} m={m}: {device_s:.2f} s, "
+         f"{iters} Newton / {inner} inner CG iters, "
+         f"converged={bool(st.converged)}")
+
+    # parity at n=4096 vs the dense path
+    ns = 4096
+    xs, ys = xd[:ns], yd[:ns]
+    dense = gp.fit_multiclass(kernel, params, xs, ys, num_classes=C)
+    dpred = gp.predict_multiclass(kernel, params, dense, xs, ys, xtd, num_classes=C)
+    cgs = gp.laplace_fit_multiclass_cg(kernel, params, xs, ys, C,
+                                       cg_tol=cg_tol,
+                                       precond_rank=min(rank, ns))
+    cpred = gp.predict_multiclass_cg(kernel, params, cgs, xs, ys, xtd, C)
+    prob_err = float(jnp.max(jnp.abs(cpred.prob - dpred.prob)))
+    label_agree = float(jnp.mean(cpred.label == dpred.label))
+    _log(f"[bench] multiclass100k parity at n=4096: max |d prob| "
+         f"{prob_err:.2e}, label agreement {label_agree:.4f}")
+    gate = float(os.environ.get("GP_BENCH_GATE_PROB", 5e-3))
+    if not (prob_err <= gate and label_agree >= 0.999):  # NaN fails closed
+        _log("[bench] MULTICLASS100K PARITY GATE FAILED")
+        raise ParityGateError(1)
+
+    est_baseline_s = 3 * 60.0 * (n / 4096.0) ** 3  # C dense factors/step
+    n_pad = -(-n // 512) * 512
+    flops_per_mv = C * (2 * n_pad * n_pad * 128 + 10 * n_pad * n_pad)
+    total_mv = inner + 2 * iters
+    _emit(
+        f"laplace_multiclass_cg_n{n}",
+        device_s,
+        "s",
+        est_baseline_s / device_s,
+        device_ms=round(device_s * 1e3, 1),
+        gflops=round(flops_per_mv * total_mv / device_s / 1e9, 1),
+        newton_iters=iters,
+        inner_cg_iters=inner,
+        cg_tol=cg_tol,
+        converged=bool(st.converged),
+        precond_rank=rank,
+        num_classes=C,
+        predict_m=m,
+        parity_max_prob_err_n4096=prob_err,
+        label_agreement_n4096=label_agree,
+        baseline="numpy_f64_dense_perclass_extrapolated_On3_NOT_measured",
+    )
+
+
 # ---------------------------------------------------------------- scaling
 
 
@@ -1223,6 +1324,8 @@ def main() -> None:
         _bench_laplace()
     elif mode == "laplace100k":
         _bench_laplace100k()
+    elif mode == "multiclass100k":
+        _bench_multiclass100k()
     elif mode == "scaling":
         _bench_scaling()
     else:

@@ -406,7 +406,14 @@ def laplace_fit_cg(
     t = (y + 1.0) / 2.0
 
     if tol is None:
-        tol = 10.0 * float(np.sqrt(np.finfo(np.dtype(dt)).eps))
+        # inexact Newton's error floor sits at the INNER solve's relative
+        # error, not at sqrt(eps): with cg_tol = 1e-4 the iterate bounces
+        # around ~1e-5..1e-4 forever (measured r5 on the multiclass twin
+        # — 100 capped iterations vs 7 with exact solves), so the default
+        # tolerance is floored at cg_tol
+        tol = max(
+            10.0 * float(np.sqrt(np.finfo(np.dtype(dt)).eps)), float(cg_tol)
+        )
 
     def _B_ops(sw):
         def Bmv(v):

@@ -329,6 +329,7 @@ def laplace_fit_multiclass_cg(
     cg_max_iters: int = 200,
     precond_rank: int = 512,
     use_pallas: bool = None,
+    f_init: jnp.ndarray = None,
     compute_lml: bool = False,
     lml_probes: int = 8,
     lml_lanczos_iters: int = 32,
@@ -397,7 +398,12 @@ def laplace_fit_multiclass_cg(
     dt = U.dtype
     y = one_hot_targets(jnp.asarray(y_labels), C).astype(dt)
     if tol is None:
-        tol = 10.0 * float(np.sqrt(np.finfo(np.dtype(dt)).eps))
+        # floor at cg_tol: inexact Newton cannot resolve below the inner
+        # solve's error (measured r5: cg_tol=1e-4 bounces at ~1e-5..1e-4,
+        # capping out at 100 iterations where exact solves take 7)
+        tol = max(
+            10.0 * float(np.sqrt(np.finfo(np.dtype(dt)).eps)), float(cg_tol)
+        )
 
     def _B_ops(pi):
         S = _w_sqrt_blocks(pi)
@@ -407,28 +413,50 @@ def laplace_fit_multiclass_cg(
             out = u + _w_half_apply(S, Kmv(_w_half_apply(S, u)))
             return out.reshape(C * n)
 
-        # preconditioner: per-class diagonal-D Woodbury over the shared U
-        sw_d = jnp.sqrt(pi)  # (C, n): sqrt of W's diagonal
-        V = sw_d[:, :, None] * U[None]  # (C, n, r)
-        G = jnp.eye(r, dtype=dt)[None] + jnp.einsum(
-            "cnj,cnk->cjk", V, V, precision=lax.Precision.HIGHEST
+        # FULL-COUPLING Woodbury preconditioner: with K ~= blockdiag(U U^T)
+        # over classes, B ~= I + V V^T where V = W^{1/2} blockdiag(U) is
+        # (Cn, Cr). The (Cr, Cr) Gram has the closed form
+        #   (V^T V)[(c,j),(d,k)] = sum_i W_i[c,d] U[i,j] U[i,k]
+        # — C(C+1)/2 W-weighted Grams of U, one einsum. (r5: the earlier
+        # diagonal-D approximation dropped the -pi pi^T coupling and
+        # needed 30-80 inner iterations per Newton step at n >= 1k; the
+        # coupled form captures B to the Nyström residual like the binary
+        # path, measured ~3 per step.)
+        Pt = pi.T  # (n, C)
+        Wm = (
+            Pt[:, :, None] * jnp.eye(C, dtype=dt)[None]
+            - Pt[:, :, None] * Pt[:, None, :]
+        )  # (n, C, C): the per-point W blocks (S = Wm^{1/2})
+        # HIGH (bf16x3) is plenty: G only preconditions — CG corrects any
+        # rounding — and the HIGHEST 6-pass build would dominate a 100k
+        # Newton step
+        G4 = jnp.einsum(
+            "ncd,nj,nk->cdjk", Wm, U, U, precision=lax.Precision.HIGH
         )
-        chol_G = jax.vmap(lambda g: _chol.safe_cholesky(g).factor)(G)
+        G = G4.transpose(0, 2, 1, 3).reshape(C * r, C * r)
+        G = G + jnp.eye(C * r, dtype=dt)
+        chol_G = _chol.safe_cholesky(G).factor
 
         def apply(u_flat):
             u = u_flat.reshape(C, n)
-            w = jnp.einsum("cnj,cn->cj", V, u,
+            t = _w_half_apply(S, u)  # W^{1/2} u
+            w = jnp.einsum("nj,cn->cj", U, t,
                            precision=lax.Precision.HIGHEST)
-            z = jax.vmap(_chol.cholesky_solve)(chol_G, w)
-            out = u - jnp.einsum("cnj,cj->cn", V, z,
-                                 precision=lax.Precision.HIGHEST)
+            z = _chol.cholesky_solve(chol_G, w.reshape(C * r))
+            s = jnp.einsum("nj,cj->cn", U, z.reshape(C, r),
+                           precision=lax.Precision.HIGHEST)
+            out = u - _w_half_apply(S, s)
             return out.reshape(C * n)
 
         return Bmv, apply, S
 
     from gaussian_process_tpu.linalg import cg as _cg
 
-    f0 = jnp.zeros((C, n), dt)
+    f0 = (
+        jnp.zeros((C, n), dt)
+        if f_init is None
+        else jnp.asarray(f_init, dt)
+    )
     trace0 = jnp.full((max_iters,), jnp.nan, dtype=dt)
 
     def newton_step(f):

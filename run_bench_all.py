@@ -57,6 +57,9 @@ MODES = [
     # 4x: segmented host-loop Newton (bounded device calls) + narrowed
     # prediction chunks; dense B at this n would be 671 GB
     ("laplace100k", {"GP_BENCH_N": "409600"}, 3600),
+    # r5: multiclass at the north-star scale — stacked-system CG with the
+    # full-coupling Nystrom-Woodbury preconditioner (~2-4 inner/step)
+    ("multiclass100k", {}, 2400),
     ("scaling", {}, 1800),
 ]
 
