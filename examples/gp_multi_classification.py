@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--centers", type=int, default=3)
     ap.add_argument("--n-samples", type=int, default=100)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--solver", choices=["cholesky", "cg"], default="cholesky",
+                    help="cg = the matrix-free stacked-system Newton (r5): "
+                         "one preconditioned CG per step, the path that "
+                         "runs at n = 100k on one chip")
     ap.add_argument("--out", default="artifacts/gp_multiclass")
     args = ap.parse_args()
 
@@ -47,10 +51,19 @@ def main() -> None:
     Xte = jnp.asarray(X_test, jnp.float32)
     ytr = jnp.asarray(y_train)
 
-    state = gp.fit_multiclass(kernel, params, Xtr, ytr, args.centers)
-    pred = gp.predict_multiclass(
-        kernel, params, state, Xtr, ytr, Xte, args.centers
-    )
+    if args.solver == "cg":
+        state = gp.laplace_fit_multiclass_cg(
+            kernel, params, Xtr, ytr, args.centers,
+            precond_rank=min(48, Xtr.shape[0]),
+        )
+        pred = gp.predict_multiclass_cg(
+            kernel, params, state, Xtr, ytr, Xte, args.centers
+        )
+    else:
+        state = gp.fit_multiclass(kernel, params, Xtr, ytr, args.centers)
+        pred = gp.predict_multiclass(
+            kernel, params, state, Xtr, ytr, Xte, args.centers
+        )
     acc = float((np.asarray(pred.label) == y_test).mean())
 
     # reference-metric reproduction: the damped trainer2 the reference
