@@ -417,11 +417,12 @@ def laplace_fit_multiclass_cg(
         # over classes, B ~= I + V V^T where V = W^{1/2} blockdiag(U) is
         # (Cn, Cr). The (Cr, Cr) Gram has the closed form
         #   (V^T V)[(c,j),(d,k)] = sum_i W_i[c,d] U[i,j] U[i,k]
-        # — C(C+1)/2 W-weighted Grams of U, one einsum. (r5: the earlier
-        # diagonal-D approximation dropped the -pi pi^T coupling and
-        # needed 30-80 inner iterations per Newton step at n >= 1k; the
-        # coupled form captures B to the Nyström residual like the binary
-        # path, measured ~3 per step.)
+        # — C(C+1)/2 W-weighted Grams of U, one einsum. Measured A/B
+        # (bench_probes/multiclass_precond_ab_r5.py, n=4096 C=3 r=128,
+        # total inner iterations): plain CG 123, the earlier diagonal-D
+        # approximation 693 (ACTIVELY harmful — D >= W over-corrects the
+        # directions the -pi pi^T coupling would cancel), coupled 16
+        # (~2/Newton step, like the binary path).
         Pt = pi.T  # (n, C)
         Wm = (
             Pt[:, :, None] * jnp.eye(C, dtype=dt)[None]
