@@ -15,6 +15,11 @@ from gaussian_process_tpu.parallel.cg import (
     make_posterior_cg_segments,
     distributed_posterior_cg_segmented,
 )
+from gaussian_process_tpu.parallel.classification import (
+    make_laplace_fit as make_distributed_laplace_fit,
+    make_laplace_predict as make_distributed_laplace_predict,
+    distributed_fit_predict_binary,
+)
 from gaussian_process_tpu.parallel.cholesky import (
     distributed_cholesky,
     distributed_cholesky_solve,
@@ -51,6 +56,9 @@ __all__ = [
     "make_posterior_cg",
     "make_posterior_cg_segments",
     "distributed_posterior_cg_segmented",
+    "make_distributed_laplace_fit",
+    "make_distributed_laplace_predict",
+    "distributed_fit_predict_binary",
     "distributed_cholesky",
     "distributed_cholesky_solve",
     "make_distributed_posterior",

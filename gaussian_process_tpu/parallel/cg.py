@@ -58,7 +58,27 @@ def _nystrom_local(k_nw, p_nw, x_local, *, axis, shift, g_idx, valid):
     range). ``valid``: per-device mask for padded rows (or None).
     Returns (U_local, chol_G).
     """
-    p = lax.axis_size(axis)
+    U_local = _nystrom_factor_local(
+        k_nw, p_nw, x_local, axis=axis, g_idx=g_idx, valid=valid
+    )
+    r = U_local.shape[1]
+    G_local = jnp.dot(
+        U_local.T, U_local, preferred_element_type=U_local.dtype,
+        precision=lax.Precision.HIGHEST,
+    )
+    G = lax.psum(G_local, axis) + jnp.asarray(shift, U_local.dtype) * jnp.eye(
+        r, dtype=U_local.dtype
+    )
+    chol_G = _chol.safe_cholesky(G).factor
+    return U_local, chol_G
+
+
+def _nystrom_factor_local(k_nw, p_nw, x_local, *, axis, g_idx, valid):
+    """The bare row-sharded Nyström factor U_local = K(x_local, z) L_mm^{-T}
+    (see :func:`_nystrom_local` for the layout): shared by the regression
+    preconditioner (which shifts and factorizes U^T U once) and the
+    distributed Laplace classifier (which re-weights U by sqrt(W) per
+    Newton step — parallel/classification.py, r5)."""
     me = lax.axis_index(axis)
     x2 = _k._dist._as_2d(x_local)
     m_local = x2.shape[0]
@@ -75,17 +95,7 @@ def _nystrom_local(k_nw, p_nw, x_local, *, axis, shift, g_idx, valid):
     Ut = lax.linalg.triangular_solve(
         L_mm, K_xm.T, left_side=True, lower=True
     )  # (r, m_local) = L^{-1} K_mx
-    U_local = Ut.T
-    G_local = jnp.dot(
-        Ut, U_local, preferred_element_type=U_local.dtype,
-        precision=lax.Precision.HIGHEST,
-    )
-    r = z.shape[0]
-    G = lax.psum(G_local, axis) + jnp.asarray(shift, U_local.dtype) * jnp.eye(
-        r, dtype=U_local.dtype
-    )
-    chol_G = _chol.safe_cholesky(G).factor
-    return U_local, chol_G
+    return Ut.T
 
 
 def _nystrom_apply(U_local, chol_G, shift, axis):
